@@ -1,0 +1,110 @@
+"""Typed configuration for difusco_tpu.
+
+One dataclass covers the reference's full argparse surface
+(reference: difusco/train.py:19-68) plus the TPU-specific knobs (mesh shape,
+precision policy, decode backend) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- task / data (reference train.py:21-28) ----
+    task: str = "tsp"  # "tsp" | "mis"
+    storage_path: str = "."
+    training_split: str = "data/tsp/tsp50_train_concorde.txt"
+    training_split_label_dir: Optional[str] = None  # MIS KaMIS labels
+    validation_split: str = "data/tsp/tsp50_test_concorde.txt"
+    test_split: str = "data/tsp/tsp50_test_concorde.txt"
+    validation_examples: int = 64
+
+    # ---- optimization (reference train.py:30-35) ----
+    batch_size: int = 64
+    num_epochs: int = 50
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    lr_scheduler: str = "constant"  # constant | cosine-decay | one-cycle
+
+    # ---- precision / memory (reference train.py:37-38) ----
+    fp16: bool = False  # reference mixed precision flag; on TPU -> bfloat16
+    use_activation_checkpoint: bool = False
+
+    # ---- diffusion (reference train.py:40-47) ----
+    diffusion_type: str = "categorical"  # gaussian | categorical
+    diffusion_schedule: str = "linear"  # linear | cosine
+    diffusion_steps: int = 1000
+    inference_diffusion_steps: int = 50
+    inference_schedule: str = "cosine"  # linear | cosine
+    inference_trick: Optional[str] = "ddim"  # None | "ddim" (gaussian only)
+    sequential_sampling: int = 1
+    parallel_sampling: int = 1
+
+    # ---- model (reference train.py:49-52) ----
+    n_layers: int = 12
+    hidden_dim: int = 256
+    sparse_factor: int = -1  # kNN degree; <=0 means dense
+    aggregation: str = "sum"  # sum | mean | max
+
+    # ---- decoding (reference train.py:53-54) ----
+    two_opt_iterations: int = 1000
+    save_numpy_heatmap: bool = False
+    merge_backend: str = "device"  # device | native | numpy
+
+    # ---- logging / checkpointing (reference train.py:56-61) ----
+    project_name: str = "tsp_diffusion"
+    wandb_entity: Optional[str] = None
+    logger_name: Optional[str] = None
+    resume_id: Optional[str] = None
+    ckpt_path: Optional[str] = None
+    resume_weight_only: bool = False
+
+    # ---- actions (reference train.py:63-65) ----
+    do_train: bool = False
+    do_test: bool = False
+    do_valid_only: bool = False
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    seed: int = 0
+    mesh_shape: Optional[tuple] = None  # e.g. (n_data, n_sample); None = auto
+    bf16: bool = False  # bfloat16 activations (fp32 params / norms)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    log_every: int = 50
+    ckpt_every_epochs: int = 1
+    ckpt_top_k: int = 3
+
+    @property
+    def sparse(self) -> bool:
+        """Mirrors reference pl_meta_model.py:25 (node-feature tasks are sparse)."""
+        return self.sparse_factor > 0 or self.node_feature_only
+
+    @property
+    def node_feature_only(self) -> bool:
+        return self.task == "mis"
+
+    @property
+    def out_channels(self) -> int:
+        """Gaussian predicts eps (1 ch); categorical predicts 2-class logits
+        (reference pl_meta_model.py:27-36)."""
+        return 1 if self.diffusion_type == "gaussian" else 2
+
+    def validate(self) -> "Config":
+        if self.task not in ("tsp", "mis"):
+            raise ValueError(f"unknown task {self.task!r}")
+        if self.diffusion_type not in ("gaussian", "categorical"):
+            raise ValueError(f"unknown diffusion type {self.diffusion_type!r}")
+        if self.diffusion_schedule not in ("linear", "cosine"):
+            raise ValueError(f"unknown schedule {self.diffusion_schedule!r}")
+        if self.inference_schedule not in ("linear", "cosine"):
+            raise ValueError(f"unknown inference schedule {self.inference_schedule!r}")
+        if self.inference_trick not in (None, "ddim"):
+            raise ValueError(f"unknown inference trick {self.inference_trick!r}")
+        if self.aggregation not in ("sum", "mean", "max"):
+            raise ValueError(f"unknown aggregation {self.aggregation!r}")
+        if self.diffusion_type == "gaussian" and self.task == "tsp" and self.sparse_factor > 0:
+            # reference pl_tsp_model.py:90-92 raises the same restriction
+            raise ValueError("gaussian diffusion with sparse TSP graphs is not supported")
+        return self
