@@ -1,0 +1,241 @@
+"""CLI runner: train / validate / test a diffusion CO solver.
+
+Capability parity with reference ``difusco/train.py``: the same flag surface
+(task, splits, optimization, diffusion, model, decoding, logging, actions),
+epoch training with per-epoch validation, checkpoint-best-by
+``val/solved_cost`` (min for TSP / max for MIS), full-state and weights-only
+resume, and a test pass at the end.
+
+Usage:
+  python -m difusco_tpu.cli --task tsp --do_train --do_test \\
+      --storage_path /tmp/exp --training_split data/tsp50_train.txt \\
+      --validation_split data/tsp50_val.txt --test_split data/tsp50_test.txt \\
+      --diffusion_type categorical --num_epochs 5 --batch_size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difusco_tpu.config import Config
+from difusco_tpu.parallel.mesh import make_mesh
+from difusco_tpu.train.checkpoint import CheckpointKeeper
+from difusco_tpu.train.trainer import Trainer, make_optimizer
+from difusco_tpu.utils.logging import MetricLogger
+
+
+def arg_parser() -> argparse.ArgumentParser:
+    """Same surface as reference train.py:19-68 (wandb flags become logger
+    flags; TPU additions at the end)."""
+    p = argparse.ArgumentParser(
+        description="Train a TPU-native diffusion model on TSP/MIS."
+    )
+    p.add_argument("--task", type=str, required=True, choices=["tsp", "mis"])
+    p.add_argument("--storage_path", type=str, required=True)
+    p.add_argument("--training_split", type=str, default="data/tsp/tsp50_train_concorde.txt")
+    p.add_argument("--training_split_label_dir", type=str, default=None)
+    p.add_argument("--validation_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
+    p.add_argument("--test_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
+    p.add_argument("--validation_examples", type=int, default=64)
+
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+
+    p.add_argument("--fp16", action="store_true")
+    p.add_argument("--use_activation_checkpoint", action="store_true")
+
+    p.add_argument("--diffusion_type", type=str, default="gaussian")
+    p.add_argument("--diffusion_schedule", type=str, default="linear")
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--inference_diffusion_steps", type=int, default=1000)
+    p.add_argument("--inference_schedule", type=str, default="linear")
+    p.add_argument("--inference_trick", type=str, default="ddim")
+    p.add_argument("--sequential_sampling", type=int, default=1)
+    p.add_argument("--parallel_sampling", type=int, default=1)
+
+    p.add_argument("--n_layers", type=int, default=12)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--sparse_factor", type=int, default=-1)
+    p.add_argument("--aggregation", type=str, default="sum")
+    p.add_argument("--two_opt_iterations", type=int, default=1000)
+    p.add_argument("--save_numpy_heatmap", action="store_true")
+
+    p.add_argument("--project_name", type=str, default="tsp_diffusion")
+    p.add_argument("--logger_name", type=str, default=None)
+    p.add_argument("--resume_id", type=str, default=None)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--resume_weight_only", action="store_true")
+
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--do_valid_only", action="store_true")
+
+    # TPU-native additions
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--n_data_devices", type=int, default=0, help="0 = all")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--profile_dir", type=str, default=None)
+    return p
+
+
+def config_from_args(args) -> Config:
+    fields = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    if args.inference_trick in ("", "none", "None"):
+        kw["inference_trick"] = None
+    return Config(**kw).validate()
+
+
+def _load_datasets(cfg: Config):
+    if cfg.task == "tsp":
+        from difusco_tpu.data.tsp import TSPDataset
+
+        mk = lambda split: TSPDataset(
+            os.path.join(cfg.storage_path, split), sparse_factor=cfg.sparse_factor
+        )
+        return mk(cfg.training_split), mk(cfg.validation_split), mk(cfg.test_split)
+    from difusco_tpu.data.mis import MISDataset
+
+    label_dir = (
+        os.path.join(cfg.storage_path, cfg.training_split_label_dir)
+        if cfg.training_split_label_dir
+        else None
+    )
+    mk = lambda split, ld=None: MISDataset(
+        os.path.join(cfg.storage_path, split), label_dir=ld
+    )
+    return (
+        mk(cfg.training_split, label_dir),
+        mk(cfg.validation_split),
+        mk(cfg.test_split),
+    )
+
+
+def _make_task(cfg: Config):
+    if cfg.task == "tsp":
+        from difusco_tpu.tasks.tsp import TSPTask
+
+        return TSPTask(cfg)
+    from difusco_tpu.tasks.mis import MISTask
+
+    return MISTask(cfg)
+
+
+def evaluate_split(task, dataset, params, cfg: Config, split: str, limit: Optional[int] = None):
+    """Average instance metrics over a split (reference test_epoch_end,
+    pl_meta_model.py:49-60)."""
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    sums: dict = {}
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    for i in range(n):
+        ex = dataset.get(i)
+        ikey = jax.random.fold_in(key, i)
+        if cfg.task == "tsp":
+            m = task.evaluate_instance(
+                params,
+                jnp.asarray(ex["points"]),
+                jnp.asarray(ex["tour"]),
+                ikey,
+                neighbors=(
+                    jnp.asarray(ex["neighbors"]) if "neighbors" in ex else None
+                ),
+            )
+        else:
+            m = task.evaluate_instance(params, ex, ikey)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    return {f"{split}/{k}": v / n for k, v in sums.items()}
+
+
+def run(cfg: Config) -> dict:
+    """Programmatic entry; returns final metrics."""
+    task = _make_task(cfg)
+    train_ds, val_ds, test_ds = _load_datasets(cfg)
+
+    run_dir = os.path.join(
+        cfg.storage_path, "models", cfg.logger_name or cfg.project_name,
+        cfg.resume_id or "run",
+    )
+    logger = MetricLogger(run_dir, run_name=cfg.logger_name)
+    saving_mode = "min" if cfg.task == "tsp" else "max"
+    keeper = CheckpointKeeper(
+        os.path.join(run_dir, "checkpoints"), mode=saving_mode, top_k=cfg.ckpt_top_k
+    )
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = make_mesh((n_dev,), ("data",))
+
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    total_steps = steps_per_epoch * cfg.num_epochs
+
+    params = None
+    if cfg.ckpt_path:
+        keeper_in = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)
+        if cfg.resume_weight_only:
+            params = keeper_in.restore_weights_only()
+        else:
+            _, state = keeper_in.restore_last()
+            params = state["params"] if state else None
+        keeper_in.close()
+
+    final_metrics: dict = {}
+    if cfg.do_train:
+        trainer = Trainer(task, cfg, mesh=mesh)
+
+        def eval_hook(p, step):
+            m = evaluate_split(task, val_ds, p, cfg, "val", cfg.validation_examples)
+            logger.log(m, step)
+            keeper.save(step, jax.device_get(p), metrics=m)
+            final_metrics.update(m)
+
+        params, history = trainer.fit(
+            train_ds.batches(cfg.batch_size, seed=cfg.seed, epochs=None),
+            total_steps=total_steps,
+            params=params,
+            seed=cfg.seed,
+            log_every=cfg.log_every,
+            eval_fn=eval_hook,
+            eval_every=steps_per_epoch,
+            log_path=os.path.join(run_dir, "train.jsonl"),
+        )
+        for h in history[-1:]:
+            logger.log({"train/loss": h["train/loss"]}, h["step"])
+
+    if cfg.do_test or cfg.do_valid_only:
+        if params is None:
+            raise ValueError("need --do_train or --ckpt_path for evaluation")
+        m = evaluate_split(task, val_ds, params, cfg, "val", cfg.validation_examples)
+        logger.log(m, 0)
+        final_metrics.update(m)
+        if not cfg.do_valid_only:
+            m = evaluate_split(task, test_ds, params, cfg, "test")
+            logger.log(m, 0)
+            final_metrics.update(m)
+
+    logger.close()
+    keeper.close()
+    return final_metrics
+
+
+def main(argv=None):
+    args = arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    metrics = run(cfg)
+    print({k: round(v, 6) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

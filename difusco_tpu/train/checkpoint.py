@@ -1,0 +1,91 @@
+"""Checkpointing: top-k-by-metric + last, with two restore modes.
+
+Capability parity with the reference's ModelCheckpoint + resume logic
+(train.py:96-103, 123-138): monitor ``val/solved_cost`` (min for TSP, max
+for MIS), keep top-3 and last, and support (a) full-state resume (params +
+optimizer + step) and (b) weights-only restore into a fresh trainer
+(``--resume_weight_only``).
+
+Implemented on orbax CheckpointManager: one manager tracks the best-k by
+metric, a sibling directory always holds the latest full state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointKeeper:
+    def __init__(
+        self,
+        directory: str,
+        mode: str = "min",
+        top_k: int = 3,
+        metric: str = "val/solved_cost",
+    ):
+        self.directory = os.path.abspath(directory)
+        self.metric = metric
+        os.makedirs(self.directory, exist_ok=True)
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=top_k,
+                best_fn=lambda m: m[metric.replace("/", "_")],
+                best_mode=mode,
+            ),
+        )
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> None:
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        args = ocp.args.StandardSave(state)
+        self._last.save(step, args=args)
+        if metrics and self.metric in metrics:
+            self._best.save(
+                step,
+                args=ocp.args.StandardSave(state),
+                metrics={self.metric.replace("/", "_"): float(metrics[self.metric])},
+            )
+        self._last.wait_until_finished()
+        self._best.wait_until_finished()
+
+    def restore_last(self, template: Any = None):
+        """Full-state restore from the newest checkpoint -> (step, state)."""
+        step = self._last.latest_step()
+        if step is None:
+            return None, None
+        args = ocp.args.StandardRestore(template) if template is not None else None
+        return step, self._last.restore(step, args=args)
+
+    def restore_best(self, template: Any = None):
+        step = self._best.best_step()
+        if step is None:
+            return self.restore_last(template)
+        args = ocp.args.StandardRestore(template) if template is not None else None
+        return step, self._best.restore(step, args=args)
+
+    def restore_weights_only(self, path_or_none: Optional[str] = None, template=None):
+        """Weights-only restore (fresh optimizer), reference
+        --resume_weight_only semantics."""
+        step, state = self.restore_best(template)
+        if state is None:
+            return None
+        return state["params"]
+
+    def close(self):
+        self._best.close()
+        self._last.close()
