@@ -1,0 +1,101 @@
+"""MCTS decode pipeline: heatmap sparsification + native solver driver.
+
+Capability parity with the reference's offline MCTS path
+(tsp_mcts/convert_numpy_to_txt.py:14-73 + solve-*.sh): add a distance prior
+0.01*(1 - d), keep the top-quantile of entries union each node's top-3
+edges, bump kept entries by 1e-2, symmetrize A + A^T, row-normalize, write
+the text heatmap, then run the C++ solver (one thread per instance instead
+of shell-level process fan-out).
+
+For TSP-10000 the reference first merges+2-opts the heatmap and feeds the
+resulting tour edges (convert_numpy_with_2opt.py:55-112); that variant is
+``tour_edges_heatmap``.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_MCTS_BIN = os.path.join(_REPO_ROOT, "native", "build", "tsp_mcts")
+
+
+def sparsify_heatmap(
+    heat: np.ndarray, points: np.ndarray, expected_valid_prob: float = 0.02
+) -> np.ndarray:
+    """Distance-prior + top-quantile/top-3 sparsify + row-normalize
+    (convert_numpy_to_txt.py:20-48)."""
+    n = heat.shape[0]
+    dists = np.linalg.norm(points[:, None, :] - points[None, :, :], axis=-1)
+    a = heat + 0.01 * (1.0 - dists)
+    a[~np.isfinite(a)] = 0.0
+
+    k = max(int(n * n * expected_valid_prob), 1)
+    valid = np.sort(a[a > 0.0])
+    thresh = valid[-k] if len(valid) >= k else 0.0
+    top3 = np.argsort(a, axis=1)[:, -3:]
+    mask = a > thresh
+    mask[np.arange(n)[:, None], top3] = True
+    a = a * mask
+    a[a != 0.0] += 1e-2
+    a = a + a.T
+    a = a / a.sum(axis=1, keepdims=True)
+    return a
+
+
+def tour_edges_heatmap(tours: np.ndarray, n: int) -> np.ndarray:
+    """Heatmap from decoded tour edges (the TSP-10000 variant,
+    convert_numpy_with_2opt.py:85-95): 1.0 on each traversed edge."""
+    a = np.zeros((n, n))
+    for tour in np.atleast_2d(tours):
+        a[tour[:-1], tour[1:]] = 1.0
+    return a
+
+
+def write_heatmap_txt(path: str, heat: np.ndarray) -> None:
+    n = heat.shape[0]
+    with open(path, "w") as f:
+        f.write(f"{n}\n")
+        for row in heat:
+            f.write(" ".join(f"{x:.6f}" for x in row) + "\n")
+
+
+def run_mcts(
+    instances_path: str,
+    heatmap_pattern: str,
+    output_path: str,
+    time_per_city: float = 0.10,
+    threads: int = 0,
+    extra_args: Sequence[str] = (),
+    tours_path: Optional[str] = None,
+) -> dict:
+    """Invoke the native solver; returns the parsed stats dict."""
+    if not os.path.exists(_MCTS_BIN):
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO_ROOT, "native"), "build/tsp_mcts"],
+            check=True,
+            capture_output=True,
+        )
+    cmd = [
+        _MCTS_BIN,
+        "--instances", instances_path,
+        "--heatmaps", heatmap_pattern,
+        "--output", output_path,
+        "--time", str(time_per_city),
+    ]
+    if threads:
+        cmd += ["--threads", str(threads)]
+    if tours_path:
+        cmd += ["--tours", tours_path]
+    cmd += list(extra_args)
+    subprocess.run(cmd, check=True)
+    stats = {}
+    with open(output_path) as f:
+        for line in f:
+            k, v = line.split()
+            stats[k] = float(v)
+    return stats

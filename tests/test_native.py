@@ -1,0 +1,117 @@
+"""Tests for the native C++ merge library and MCTS solver."""
+
+import os
+
+import numpy as np
+import pytest
+
+from difusco_tpu import ops
+from difusco_tpu.ops.native import merge_heatmap_native, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def _planted_heat(rng, V, quality=0.8):
+    perm = rng.permutation(V)
+    heat = rng.random((V, V)) * (1 - quality)
+    for i in range(V):
+        heat[perm[i], perm[(i + 1) % V]] += quality
+    return heat, perm
+
+
+class TestNativeMerge:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        for V in (10, 30, 60):
+            pts = rng.random((V, 2))
+            heat, _ = _planted_heat(rng, V)
+            sym = heat + heat.T
+            tours, adj, iters = merge_heatmap_native(pts, sym[None])
+            adj_np, iters_np = ops.merge_heatmap_numpy(pts, sym)
+            np.testing.assert_array_equal(adj[0], adj_np)
+            assert iters[0] == iters_np
+
+    def test_batch_multithreaded(self):
+        rng = np.random.default_rng(1)
+        V, S = 40, 8
+        pts = rng.random((V, 2))
+        heats = np.stack([_planted_heat(rng, V)[0] for _ in range(S)])
+        sym = heats + heats.transpose(0, 2, 1)
+        tours, adj, iters = merge_heatmap_native(pts, sym, n_threads=4)
+        tours1, adj1, iters1 = merge_heatmap_native(pts, sym, n_threads=1)
+        np.testing.assert_array_equal(tours, tours1)
+        for s in range(S):
+            t = tours[s]
+            assert t[0] == t[-1] and len(set(t[:-1].tolist())) == V
+
+    def test_tour_walk_matches_device(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        V = 25
+        pts = rng.random((V, 2))
+        heat, _ = _planted_heat(rng, V)
+        tours_n, _, _ = merge_heatmap_native(pts, (heat + heat.T)[None])
+        tours_d, _ = ops.merge_heatmap_device(jnp.asarray(pts), jnp.asarray(heat)[None])
+        np.testing.assert_array_equal(tours_n[0], np.asarray(tours_d)[0])
+
+
+class TestMCTSSolver:
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        from difusco_tpu.data.generate_tsp import generate
+        from difusco_tpu.data.tsp import write_tsp_file
+        from difusco_tpu.decode.mcts import sparsify_heatmap, write_heatmap_txt
+
+        root = tmp_path_factory.mktemp("mcts")
+        instances = generate(num_samples=3, num_nodes=30, seed=0)
+        inst_path = str(root / "tsp30.txt")
+        write_tsp_file(inst_path, instances)
+
+        rng = np.random.default_rng(0)
+        for i, (pts, tour) in enumerate(instances):
+            # imperfect heatmap: strong on label-tour edges + noise
+            heat = rng.random((30, 30)) * 0.2
+            heat[tour[:-1], tour[1:]] += 0.8
+            sp = sparsify_heatmap(heat, pts)
+            write_heatmap_txt(str(root / f"heat_{i}.txt"), sp)
+        return root, inst_path
+
+    def test_solver_runs_and_improves(self, setup):
+        from difusco_tpu.decode.mcts import run_mcts
+
+        root, inst_path = setup
+        stats = run_mcts(
+            inst_path,
+            str(root / "heat_{i}.txt"),
+            str(root / "stats.txt"),
+            time_per_city=0.01,
+            threads=3,
+            tours_path=str(root / "tours.txt"),
+        )
+        assert stats["instances"] == 3
+        # label tours are NN+2-opt, MCTS from a good heatmap should be within
+        # a few percent (often better, i.e. negative gap)
+        assert stats["avg_gap_percent"] < 5.0
+        # tours are valid permutations
+        with open(root / "tours.txt") as f:
+            for line in f:
+                t = [int(x) - 1 for x in line.split()]
+                assert len(t) == 31 and t[0] == t[-1]
+                assert sorted(t[:-1]) == list(range(30))
+
+
+class TestSparsifier:
+    def test_row_normalized_and_connected(self):
+        rng = np.random.default_rng(3)
+        V = 50
+        pts = rng.random((V, 2))
+        heat = rng.random((V, V))
+        sp = sparsify = __import__(
+            "difusco_tpu.decode.mcts", fromlist=["sparsify_heatmap"]
+        ).sparsify_heatmap(heat, pts)
+        np.testing.assert_allclose(sp.sum(1), 1.0, atol=1e-6)
+        # every node keeps at least its top-3 edges (plus symmetrized ones)
+        assert ((sp > 0).sum(1) >= 3).all()
