@@ -35,6 +35,7 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
         inference_schedule="cosine",
         n_layers=12,
         hidden_dim=256,
+        bf16=True,  # mixed precision: bf16 matmuls, fp32 norms
     )
     task = TSPTask(cfg)
     rng = np.random.default_rng(0)

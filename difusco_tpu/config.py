@@ -71,6 +71,8 @@ class Config:
     seed: int = 0
     mesh_shape: Optional[tuple] = None  # e.g. (n_data, n_sample); None = auto
     bf16: bool = False  # bfloat16 activations (fp32 params / norms)
+    fused_inference: bool = True  # Pallas fused dense layer for sampling
+    # (active only on the dense path with bf16/fp16 enabled)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     log_every: int = 50
     ckpt_every_epochs: int = 1

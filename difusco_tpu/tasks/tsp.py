@@ -141,11 +141,32 @@ class TSPTask:
         shape = (S, V, neighbors.shape[-1]) if self.sparse else (S, V, V)
         kx, kloop = jax.random.split(key)
 
+        # The fused Pallas layer reads/writes e exactly once but pads V to a
+        # multiple of 16; it only wins when the padding waste is small
+        # (measured on v5e: slower at V=50 -> Vp=64, faster at V % 16 == 0).
+        pad_waste = (-(V // -16) * 16) ** 2 / (V * V)
+        use_fused = (
+            cfg.fused_inference
+            and not self.sparse
+            and (cfg.bf16 or cfg.fp16)
+            and jax.default_backend() != "cpu"
+            and pad_waste <= 1.15
+        )
+
         def apply(t_scalar, xt):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
             if self.sparse:
                 return self.model.apply(
                     params, t_vec, xt, points=pts, neighbors=nbrs
+                )
+            if use_fused:
+                from difusco_tpu.ops.pallas_gnn import dense_forward_fused
+
+                return dense_forward_fused(
+                    params, t_vec, xt, pts,
+                    n_layers=cfg.n_layers,
+                    hidden_dim=cfg.hidden_dim,
+                    out_channels=cfg.out_channels,
                 )
             return self.model.apply(params, t_vec, xt, points=pts)
 
