@@ -45,7 +45,8 @@ def batched_two_opt(
     """Refine closed tours with first-order 2-opt moves.
 
     Args:
-      points: (V, 2) float coordinates shared by the batch.
+      points: (V, 2) float coordinates shared by the batch, or (B, V, 2)
+        per-instance coordinates.
       tours: (B, V+1) int32, closed (tours[:, 0] == tours[:, -1]).
       max_iterations: iteration cap (reference default 1000).
 
@@ -58,11 +59,19 @@ def batched_two_opt(
     B, Vp1 = tours.shape
     V = Vp1 - 1
     pos = jnp.arange(Vp1, dtype=jnp.int32)
+    per_instance = points.ndim == 3
+
+    def gather_pts(idx):  # (B, V) -> (B, V, 2)
+        if per_instance:
+            return jnp.take_along_axis(
+                points, jnp.broadcast_to(idx[:, :, None], idx.shape + (2,)), axis=1
+            )
+        return jnp.take(points, idx, axis=0)
 
     def body(state):
         tours, it, _ = state
-        head = jnp.take(points, tours[:, :-1], axis=0)  # (B, V, 2)
-        nxt = jnp.take(points, tours[:, 1:], axis=0)  # (B, V, 2)
+        head = gather_pts(tours[:, :-1])  # (B, V, 2)
+        nxt = gather_pts(tours[:, 1:])  # (B, V, 2)
 
         d_ij = _pairwise_dist(head, head)  # (B, V, V)
         d_i1j1 = _pairwise_dist(nxt, nxt)
