@@ -142,6 +142,9 @@ def evaluate_split(task, dataset, params, cfg: Config, split: str, limit: Option
         ex = dataset.get(i)
         ikey = jax.random.fold_in(key, i)
         if cfg.task == "tsp":
+            save_dir = None
+            if cfg.save_numpy_heatmap:
+                save_dir = os.path.join(cfg.storage_path, "numpy_heatmap")
             m = task.evaluate_instance(
                 params,
                 jnp.asarray(ex["points"]),
@@ -150,6 +153,9 @@ def evaluate_split(task, dataset, params, cfg: Config, split: str, limit: Option
                 neighbors=(
                     jnp.asarray(ex["neighbors"]) if "neighbors" in ex else None
                 ),
+                save_heatmap_dir=save_dir,
+                instance_idx=i,
+                split=split,
             )
         else:
             m = task.evaluate_instance(params, ex, ikey)

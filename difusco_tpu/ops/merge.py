@@ -202,6 +202,12 @@ def symmetrize_fixed_degree(heat: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.nd
     return heat + rev
 
 
+@jax.jit
+def symmetrize_fixed_degree_batch(heat: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+    """Batched symmetrization: heat (S, V, K), shared neighbors (V, K)."""
+    return jax.vmap(lambda h: symmetrize_fixed_degree(h, neighbors))(heat)
+
+
 def tour_from_adjacency(nbr: jnp.ndarray) -> jnp.ndarray:
     """Walk the 2-regular adjacency-slot table into a closed tour (V+1,).
 
@@ -226,6 +232,7 @@ def tour_from_adjacency(nbr: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), seq])
 
 
+@jax.jit
 def merge_heatmap_device(
     points: jnp.ndarray,
     heat: jnp.ndarray,

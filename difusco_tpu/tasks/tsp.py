@@ -33,7 +33,7 @@ import optax
 from difusco_tpu import diffusion as dfn
 from difusco_tpu.config import Config
 from difusco_tpu.models.gnn import GNNDenoiser
-from difusco_tpu.ops.merge import merge_heatmap_device, symmetrize_fixed_degree
+from difusco_tpu.ops.merge import merge_heatmap_device, symmetrize_fixed_degree_batch
 from difusco_tpu.ops.two_opt import batched_two_opt, tour_cost
 
 
@@ -224,33 +224,91 @@ class TSPTask:
     def decode(
         self, points, heatmaps, neighbors=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """merge + 2-opt + cost; returns (tours, costs, work metrics)."""
+        """merge + 2-opt + cost; returns (tours, costs, work metrics).
+
+        The merge backend follows cfg.merge_backend:
+          device — vmapped on-device lax.while_loop (default)
+          native — C++ thread-pool library (CPU offload)
+          numpy  — host oracle (debugging)
+        """
+        backend = self.cfg.merge_backend
         if self.sparse:
-            sym = jax.vmap(lambda h: symmetrize_fixed_degree(h, neighbors))(heatmaps)
-            V, K = neighbors.shape
-            src = jnp.repeat(jnp.arange(V, dtype=jnp.int32), K)
-            dst = neighbors.reshape(-1)
-            tours, merge_iters = merge_heatmap_device(
-                points, sym.reshape(sym.shape[0], -1), edge_index=jnp.stack([src, dst])
-            )
+            sym = symmetrize_fixed_degree_batch(heatmaps, neighbors)
+            if backend == "device":
+                V, K = neighbors.shape
+                src = jnp.repeat(jnp.arange(V, dtype=jnp.int32), K)
+                dst = neighbors.reshape(-1)
+                tours, merge_iters = merge_heatmap_device(
+                    points,
+                    sym.reshape(sym.shape[0], -1),
+                    edge_index=jnp.stack([src, dst]),
+                )
+            else:
+                # densify the fixed-degree heats for the host backends
+                S = sym.shape[0]
+                V = points.shape[0]
+                dense = np.zeros((S, V, V))
+                nb = np.asarray(neighbors)
+                hs = np.asarray(sym, np.float64)
+                rows = np.arange(V)[:, None].repeat(nb.shape[1], 1)
+                for s in range(S):
+                    dense[s][rows, nb] = hs[s]
+                tours, merge_iters = self._host_merge(points, dense, backend)
         else:
-            tours, merge_iters = merge_heatmap_device(points, heatmaps)
+            if backend == "device":
+                tours, merge_iters = merge_heatmap_device(points, heatmaps)
+            else:
+                sym = np.asarray(heatmaps, np.float64)
+                sym = sym + sym.transpose(0, 2, 1)
+                tours, merge_iters = self._host_merge(points, sym, backend)
         tours, two_opt_iters = batched_two_opt(
-            points, tours, self.cfg.two_opt_iterations
+            points, jnp.asarray(tours), self.cfg.two_opt_iterations
         )
         costs = tour_cost(points, tours)
         return tours, costs, {
-            "merge_iterations": jnp.mean(merge_iters.astype(jnp.float32)),
+            "merge_iterations": jnp.mean(jnp.asarray(merge_iters, jnp.float32)),
             "2opt_iterations": two_opt_iters.astype(jnp.float32),
         }
+
+    @staticmethod
+    def _host_merge(points, dense_sym, backend):
+        """CPU merge backends on densified symmetric heatmaps."""
+        pts = np.asarray(points, np.float64)
+        if backend == "native":
+            from difusco_tpu.ops.native import merge_heatmap_native
+
+            tours, _, iters = merge_heatmap_native(pts, dense_sym)
+            return tours, iters
+        if backend == "numpy":
+            from difusco_tpu.ops.merge import merge_heatmap_numpy
+            from difusco_tpu.ops.merge import tour_from_adjacency
+
+            tours, iters = [], []
+            for h in dense_sym:
+                adj, it = merge_heatmap_numpy(pts, h)
+                nbr = np.full((pts.shape[0], 2), -1, np.int32)
+                deg = np.zeros(pts.shape[0], np.int32)
+                for a, b in zip(*np.nonzero(np.triu(adj))):
+                    nbr[a, deg[a]] = b
+                    nbr[b, deg[b]] = a
+                    deg[a] += 1
+                    deg[b] += 1
+                tours.append(np.asarray(tour_from_adjacency(jnp.asarray(nbr))))
+                iters.append(it)
+            return np.stack(tours), np.asarray(iters)
+        raise ValueError(f"unknown merge backend {backend!r}")
 
     # -- evaluation ---------------------------------------------------------
 
     def evaluate_instance(
-        self, params, points, gt_tour, key, neighbors=None
+        self, params, points, gt_tour, key, neighbors=None,
+        save_heatmap_dir=None, instance_idx=0, split="test",
     ) -> Dict[str, float]:
         """best-of-(parallel x sequential) for one instance
-        (pl_tsp_model.py:175-246)."""
+        (pl_tsp_model.py:175-246). With ``save_heatmap_dir`` the raw heatmap
+        and points are dumped as .npy for the offline MCTS pipeline
+        (reference run_save_numpy_heatmap, pl_tsp_model.py:258-267; requires
+        single sampling like the reference)."""
         cfg = self.cfg
         all_costs = []
         metrics = {}
@@ -262,6 +320,31 @@ class TSPTask:
                 cfg.parallel_sampling,
                 neighbors=neighbors,
             )
+            if save_heatmap_dir is not None:
+                if cfg.parallel_sampling > 1 or cfg.sequential_sampling > 1:
+                    raise NotImplementedError(
+                        "heatmap saving supports single sampling only"
+                    )
+                import os
+
+                os.makedirs(save_heatmap_dir, exist_ok=True)
+                h0 = np.asarray(heat[0], np.float64)
+                if self.sparse:
+                    # densify the fixed-degree heatmap for the converters
+                    V = points.shape[0]
+                    dense_h = np.zeros((V, V))
+                    nb = np.asarray(neighbors)
+                    rows = np.arange(V)[:, None].repeat(nb.shape[1], 1)
+                    dense_h[rows, nb] = h0
+                    h0 = dense_h
+                np.save(
+                    os.path.join(save_heatmap_dir, f"{split}-heatmap-{instance_idx}.npy"),
+                    h0,
+                )
+                np.save(
+                    os.path.join(save_heatmap_dir, f"{split}-points-{instance_idx}.npy"),
+                    np.asarray(points, np.float64),
+                )
             _, costs, m = self.decode(points, heat, neighbors=neighbors)
             all_costs.append(costs)
             metrics = {k: float(v) for k, v in m.items()}

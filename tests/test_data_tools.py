@@ -1,0 +1,189 @@
+"""Tests for data tooling: image rasterizer, MIS solvers/aggregator,
+merge backends, heatmap saving."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difusco_tpu.config import Config
+from difusco_tpu.data.generate_tsp import generate as gen_tsp
+from difusco_tpu.data.tsp import TSPDataset, write_tsp_file
+from difusco_tpu.tasks.tsp import TSPTask
+
+
+@pytest.fixture(scope="module")
+def tsp_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("d") / "tsp16.txt")
+    write_tsp_file(path, gen_tsp(num_samples=6, num_nodes=16, seed=0))
+    return path
+
+
+class TestImageDataset:
+    def test_rasterize(self, tsp_file):
+        from difusco_tpu.data.tsp_image import TSPImageDataset
+
+        ds = TSPImageDataset(tsp_file, img_size=32)
+        ex = ds.get(0)
+        img = ex["image"]
+        assert img.shape == (32, 32)
+        assert img.max() == 1.0  # points drawn
+        assert ((img > 0) & (img < 1)).any()  # tour lines drawn
+
+    def test_trajectory_render(self, tsp_file):
+        from difusco_tpu.data.tsp_image import render_denoising_trajectory
+
+        ds = TSPDataset(tsp_file)
+        ex = ds.get(0)
+        heats = np.stack([ex["adj"] * f for f in (0.2, 0.6, 1.0)])
+        frames = render_denoising_trajectory(ex["points"], heats, img_size=32)
+        assert frames.shape == (3, 32, 32)
+        # later frames (stronger heat) draw brighter lines
+        line_mask = (frames[2] > 0) & (frames[2] < 1)
+        assert frames[2][line_mask].mean() >= frames[0][line_mask].mean()
+
+
+class TestMISSolvers:
+    @pytest.fixture(scope="class")
+    def graphs(self, tmp_path_factory):
+        from difusco_tpu.data.generate_mis import main as gen_main
+
+        d = str(tmp_path_factory.mktemp("g"))
+        gen_main([
+            "gendata", "--model", "er", "--num_graphs", "4", "--min_n", "20",
+            "--max_n", "25", "--er_p", "0.2", "--output_dir", d,
+        ])
+        return d
+
+    def test_greedy_solver_and_labels_readable(self, graphs, tmp_path):
+        from difusco_tpu.data.mis_solvers import main as solver_main
+        from difusco_tpu.data.mis import MISDataset
+
+        out = str(tmp_path / "labels")
+        solver_main([
+            "solve", "--input", os.path.join(graphs, "*.gpickle"),
+            "--output", out, "--solver", "greedy", "--workers", "1",
+        ])
+        ds = MISDataset(os.path.join(graphs, "*.gpickle"), label_dir=out)
+        ex = ds.get(0)
+        n = int(ex["num_nodes"])
+        assert ex["labels"][:n].sum() > 0
+        # labels form an independent set
+        for i in np.nonzero(ex["labels"][:n])[0]:
+            nb = ex["neighbors"][i][ex["mask"][i] > 0]
+            for j in nb:
+                if j != i:
+                    assert ex["labels"][j] == 0
+
+    def test_aggregate(self, graphs, tmp_path):
+        from difusco_tpu.data.mis_solvers import main as solver_main
+
+        out = str(tmp_path / "labels")
+        solver_main([
+            "solve", "--input", os.path.join(graphs, "*.gpickle"),
+            "--output", out, "--solver", "greedy", "--workers", "1",
+        ])
+        csv_path = str(tmp_path / "r.csv")
+        solver_main(["aggregate", "--input", out, "--csv", csv_path])
+        with open(csv_path) as f:
+            lines = f.read().splitlines()
+        assert lines[0] == "graph,nodes,set_size"
+        assert len(lines) == 5
+
+    def test_external_solvers_raise_cleanly(self, graphs):
+        from difusco_tpu.data.mis_solvers import solve_kamis, _load_graph
+        import glob as g
+
+        graph = _load_graph(sorted(g.glob(os.path.join(graphs, "*.gpickle")))[0])
+        with pytest.raises(RuntimeError, match="redumis"):
+            solve_kamis(graph)
+
+
+class TestMergeBackends:
+    def _setup(self, tsp_file, backend):
+        cfg = Config(
+            task="tsp", diffusion_type="categorical", diffusion_steps=50,
+            inference_diffusion_steps=3, n_layers=2, hidden_dim=64,
+            merge_backend=backend, two_opt_iterations=50,
+        )
+        task = TSPTask(cfg)
+        ds = TSPDataset(tsp_file)
+        ex = ds.get(0)
+        rng = np.random.default_rng(0)
+        heat = rng.random((2, 16, 16)).astype(np.float32) * 0.2
+        tour = ex["tour"]
+        heat[:, tour[:-1], tour[1:]] += 0.8
+        return task, jnp.asarray(ex["points"]), jnp.asarray(heat)
+
+    @pytest.mark.parametrize("backend", ["device", "numpy"])
+    def test_backends_agree(self, tsp_file, backend):
+        task_d, pts, heat = self._setup(tsp_file, "device")
+        tours_d, costs_d, _ = task_d.decode(pts, heat)
+        task_b, _, _ = self._setup(tsp_file, backend)
+        tours_b, costs_b, _ = task_b.decode(pts, heat)
+        np.testing.assert_allclose(
+            np.asarray(costs_b), np.asarray(costs_d), atol=1e-5
+        )
+
+    def test_native_backend_if_available(self, tsp_file):
+        from difusco_tpu.ops.native import native_available
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        task_d, pts, heat = self._setup(tsp_file, "device")
+        tours_d, costs_d, _ = task_d.decode(pts, heat)
+        task_n, _, _ = self._setup(tsp_file, "native")
+        tours_n, costs_n, _ = task_n.decode(pts, heat)
+        np.testing.assert_allclose(
+            np.asarray(costs_n), np.asarray(costs_d), atol=1e-5
+        )
+
+
+class TestHeatmapSaving:
+    def test_save_numpy_heatmap(self, tsp_file, tmp_path):
+        cfg = Config(
+            task="tsp", diffusion_type="categorical", diffusion_steps=50,
+            inference_diffusion_steps=3, n_layers=2, hidden_dim=64,
+            two_opt_iterations=20,
+        )
+        task = TSPTask(cfg)
+        ds = TSPDataset(tsp_file)
+        ex = ds.get(0)
+        batch = {k: v[None] for k, v in ex.items()}
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        d = str(tmp_path / "hm")
+        task.evaluate_instance(
+            params,
+            jnp.asarray(ex["points"]),
+            jnp.asarray(ex["tour"]),
+            jax.random.PRNGKey(0),
+            save_heatmap_dir=d,
+            instance_idx=3,
+            split="test",
+        )
+        heat = np.load(os.path.join(d, "test-heatmap-3.npy"))
+        pts = np.load(os.path.join(d, "test-points-3.npy"))
+        assert heat.shape == (16, 16)
+        assert pts.shape == (16, 2)
+
+    def test_save_rejects_multi_sampling(self, tsp_file, tmp_path):
+        cfg = Config(
+            task="tsp", diffusion_type="categorical", diffusion_steps=50,
+            inference_diffusion_steps=3, n_layers=2, hidden_dim=64,
+            parallel_sampling=2,
+        )
+        task = TSPTask(cfg)
+        ds = TSPDataset(tsp_file)
+        ex = ds.get(0)
+        batch = {k: v[None] for k, v in ex.items()}
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        with pytest.raises(NotImplementedError):
+            task.evaluate_instance(
+                params,
+                jnp.asarray(ex["points"]),
+                jnp.asarray(ex["tour"]),
+                jax.random.PRNGKey(0),
+                save_heatmap_dir=str(tmp_path / "x"),
+            )
