@@ -103,7 +103,13 @@ class Trainer:
         logf = open(log_path, "a") if log_path else None
         t0 = time.time()
         batch = first
+        profile_dir = getattr(cfg, "profile_dir", None)
         for step in range(total_steps):
+            # profile a steady-state window (steps 10-15) when requested
+            if profile_dir and step == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step == 15:
+                jax.profiler.stop_trace()
             key, kstep = jax.random.split(key)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "tour"}
             if self.mesh is not None:
