@@ -109,9 +109,48 @@ def bench_gap(n_instances=32):
     return float(np.mean(gaps))
 
 
+def bench_mis(n_instances=16):
+    """MIS solved/label set-size ratio on the committed ER checkpoint."""
+    import os
+
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", "mis_er_categorical")
+    data_glob = os.path.join(os.path.dirname(__file__), "data",
+                             "mis_er_small_test", "*.gpickle")
+    import glob as g
+
+    if not (os.path.isdir(ckpt_dir) and g.glob(data_glob)):
+        return None
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from difusco_tpu.config import Config
+    from difusco_tpu.data.mis import MISDataset
+    from difusco_tpu.tasks.mis import MISTask
+
+    cfg = Config(
+        task="mis", diffusion_type="categorical", diffusion_schedule="cosine",
+        diffusion_steps=1000, inference_diffusion_steps=50,
+        inference_schedule="cosine", n_layers=12, hidden_dim=128,
+        parallel_sampling=4, bf16=True,
+    )
+    task = MISTask(cfg)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
+    params = state["params"]
+    ds = MISDataset(data_glob)
+    ratios = []
+    key = jax.random.PRNGKey(0)
+    for i in range(min(n_instances, len(ds))):
+        m = task.evaluate_instance(params, ds.get(i), jax.random.fold_in(key, i))
+        ratios.append(m["solved_cost"] / max(m["gt_cost"], 1.0))
+    return float(np.mean(ratios))
+
+
 def main():
     samples_per_sec, steps_per_sec, dt = bench_sampling()
     gap = bench_gap()
+    mis_ratio = bench_mis()
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -134,6 +173,8 @@ def main():
         result["detail"]["gap_config"] = (
             "trained ckpt step1248, 32 test instances, 4x parallel sampling"
         )
+    if mis_ratio is not None:
+        result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
     print(json.dumps(result))
 
 

@@ -27,7 +27,7 @@ import numpy as np
 from difusco_tpu.config import Config
 from difusco_tpu.parallel.mesh import make_mesh
 from difusco_tpu.train.checkpoint import CheckpointKeeper
-from difusco_tpu.train.trainer import Trainer, make_optimizer
+from difusco_tpu.train.trainer import Trainer
 from difusco_tpu.utils.logging import MetricLogger
 
 

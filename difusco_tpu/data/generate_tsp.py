@@ -42,22 +42,35 @@ def nearest_neighbor_tour(points: np.ndarray) -> np.ndarray:
     return np.array(tour, np.int32)
 
 
-def two_opt_solve(points_batch: np.ndarray) -> np.ndarray:
-    """Label a (N, V, 2) batch with NN + device 2-opt tours -> (N, V+1)."""
+def two_opt_solve(points_batch: np.ndarray, chunk: int = 16) -> np.ndarray:
+    """Label a (N, V, 2) batch with NN + device 2-opt tours -> (N, V+1).
+
+    Instances are refined in fixed-size device batches (per-instance point
+    sets; one compile, lockstep while_loop)."""
     import jax.numpy as jnp
 
     from difusco_tpu.ops.two_opt import batched_two_opt
 
-    tours = np.stack([nearest_neighbor_tour(p) for p in points_batch])
-    out = []
-    for i in range(points_batch.shape[0]):
-        t, _ = batched_two_opt(
-            jnp.asarray(points_batch[i], jnp.float32),
-            jnp.asarray(tours[i : i + 1]),
-            max_iterations=10000,
-        )
-        out.append(np.asarray(t)[0])
-    return np.stack(out)
+    N, V, _ = points_batch.shape
+    out = np.zeros((N, V + 1), np.int32)
+    for s in range(0, N, chunk):
+        b = min(chunk, N - s)
+        pts = np.zeros((chunk, V, 2), np.float32)
+        pts[:b] = points_batch[s : s + b]
+        pts[b:] = points_batch[s]  # pad with a repeat; discarded
+        tours = np.stack([nearest_neighbor_tour(p) for p in pts])
+        for attempt in range(3):  # retry transient device/tunnel errors
+            try:
+                refined, _ = batched_two_opt(
+                    jnp.asarray(pts), jnp.asarray(tours), max_iterations=5000
+                )
+                out[s : s + b] = np.asarray(refined)[:b]
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+        print(f"  labeled {s + b}/{N}", flush=True)
+    return out
 
 
 def _external_solve(points: np.ndarray, solver: str) -> np.ndarray:

@@ -24,8 +24,6 @@ TPU-native redesign:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

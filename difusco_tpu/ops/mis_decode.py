@@ -13,8 +13,6 @@ the sample axis so best-of-k decoding runs on device.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ the same chains are produced regardless of how many chips shard them.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ TPU-native redesign:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
