@@ -212,3 +212,26 @@ class TestMISEndToEnd:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         loss = task.loss_fn(params, jb, jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
+
+
+class TestMISGaussianEval:
+    def test_gaussian_mis_inference(self, tmp_path_factory):
+        from difusco_tpu.data.generate_mis import main as gen_main
+        from difusco_tpu.data.mis import MISDataset
+
+        d = str(tmp_path_factory.mktemp("misg"))
+        gen_main([
+            "gendata", "--model", "er", "--num_graphs", "4", "--min_n", "20",
+            "--max_n", "24", "--er_p", "0.2", "--output_dir", d, "--label",
+        ])
+        cfg = _small_cfg(
+            task="mis", diffusion_type="gaussian", inference_trick="ddim",
+            sequential_sampling=2, parallel_sampling=2,
+        )
+        task = MISTask(cfg)
+        ds = MISDataset(os.path.join(d, "*.gpickle"))
+        batch = next(ds.batches(2))
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        m = task.evaluate_instance(params, ds.get(0), jax.random.PRNGKey(1))
+        assert 0 <= m["solved_cost"] <= int(ds.get(0)["num_nodes"])
+        assert np.isfinite(m["solved_cost"])
