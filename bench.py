@@ -147,10 +147,53 @@ def bench_mis(n_instances=16):
     return float(np.mean(ratios))
 
 
+def bench_tsp500(n_instances=8):
+    """TSP-500 sparse gap (k=50, 4x parallel) on the committed checkpoint."""
+    import os
+
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints",
+                            "tsp500_sparse_categorical")
+    test_file = os.path.join(os.path.dirname(__file__), "data", "tsp500_test.txt")
+    if not (os.path.isdir(ckpt_dir) and os.path.exists(test_file)):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from difusco_tpu.config import Config
+    from difusco_tpu.data.tsp import TSPDataset
+    from difusco_tpu.tasks.tsp import TSPTask
+
+    cfg = Config(
+        task="tsp", diffusion_type="categorical", diffusion_schedule="cosine",
+        diffusion_steps=1000, inference_diffusion_steps=50,
+        inference_schedule="cosine", n_layers=12, hidden_dim=256,
+        sparse_factor=50, parallel_sampling=4, two_opt_iterations=1000,
+        bf16=True,
+    )
+    task = TSPTask(cfg)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
+    params = state["params"]
+    ds = TSPDataset(test_file, sparse_factor=50)
+    gaps = []
+    key = jax.random.PRNGKey(0)
+    for i in range(min(n_instances, len(ds))):
+        ex = ds.get(i)
+        m = task.evaluate_instance(
+            params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
+            jax.random.fold_in(key, i), neighbors=jnp.asarray(ex["neighbors"]),
+        )
+        gaps.append(m["gap"])
+    return float(np.mean(gaps))
+
+
 def main():
     samples_per_sec, steps_per_sec, dt = bench_sampling()
     gap = bench_gap()
     mis_ratio = bench_mis()
+    gap500 = bench_tsp500()
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -175,6 +218,8 @@ def main():
         )
     if mis_ratio is not None:
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
+    if gap500 is not None:
+        result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
     print(json.dumps(result))
 
 
