@@ -63,7 +63,7 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     return samples_per_sec, denoise_steps_per_sec, dt
 
 
-def bench_gap(n_instances=32):
+def bench_gap(n_instances=16):
     """Solved-gap benchmark on the committed TSP-50 checkpoint + test split.
 
     Gap is measured against the dataset's NN+2-opt labels (negative = the
@@ -109,7 +109,7 @@ def bench_gap(n_instances=32):
     return float(np.mean(gaps))
 
 
-def bench_mis(n_instances=16):
+def bench_mis(n_instances=8):
     """MIS solved/label set-size ratio on the committed ER checkpoint."""
     import os
 
@@ -147,7 +147,7 @@ def bench_mis(n_instances=16):
     return float(np.mean(ratios))
 
 
-def bench_tsp500(n_instances=8):
+def bench_tsp500(n_instances=4):
     """TSP-500 sparse gap (k=50, 4x parallel) on the committed checkpoint."""
     import os
 
@@ -214,7 +214,7 @@ def main():
     if gap is not None:
         result["detail"]["tsp50_gap_vs_2opt_labels"] = round(gap, 5)
         result["detail"]["gap_config"] = (
-            "trained ckpt step1248, 32 test instances, 4x parallel sampling"
+            "trained ckpt step1248, 16 test instances, 4x parallel sampling"
         )
     if mis_ratio is not None:
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
