@@ -29,6 +29,35 @@ import networkx as nx
 import numpy as np
 
 
+def hyperbolic_random_graph(
+    n: int, rng: np.random.Generator, avg_degree: float = 8.0, alpha: float = 0.75
+) -> "nx.Graph":
+    """Hyperbolic random graph (HRG) sampler.
+
+    The reference shells out to the girgs/genhrg C++ binary
+    (random_graph.py:86-97); here the standard model is sampled directly:
+    radial coords with density ~ alpha*sinh(alpha*r)/(cosh(alpha*R)-1) on a
+    disk of radius R tuned for the target average degree, uniform angles,
+    edges where hyperbolic distance < R.
+    """
+    # R chosen via the Krioukov et al. approximation for mean degree
+    R = 2.0 * np.log(n) - 2.0 * np.log(avg_degree / 4.0)
+    u = rng.random(n)
+    r = np.arccosh(1.0 + u * (np.cosh(alpha * R) - 1.0)) / alpha
+    theta = rng.random(n) * 2.0 * np.pi
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    # pairwise hyperbolic distances: cosh d = cosh r1 cosh r2 -
+    #   sinh r1 sinh r2 cos(dtheta)
+    cr, sr = np.cosh(r), np.sinh(r)
+    for i in range(n):
+        dth = np.pi - np.abs(np.pi - np.abs(theta[i] - theta[i + 1 :]))
+        cosh_d = cr[i] * cr[i + 1 :] - sr[i] * sr[i + 1 :] * np.cos(dth)
+        for j in np.nonzero(cosh_d < np.cosh(R))[0]:
+            g.add_edge(i, i + 1 + int(j))
+    return g
+
+
 def random_graph(model: str, n: int, rng: np.random.Generator, **kw) -> "nx.Graph":
     """Graph families mirrored from random_graph.py:19-118."""
     seed = int(rng.integers(2**31))
@@ -44,6 +73,8 @@ def random_graph(model: str, n: int, rng: np.random.Generator, **kw) -> "nx.Grap
         return nx.watts_strogatz_graph(
             n, kw.get("ws_k", 4), kw.get("ws_p", 0.1), seed=seed
         )
+    if model == "hrg":
+        return hyperbolic_random_graph(n, rng, kw.get("hrg_deg", 8.0))
     raise ValueError(f"unknown graph model {model!r}")
 
 
@@ -110,7 +141,7 @@ def gendata(args):
         else:
             g = random_graph(args.model, n, rng, er_p=args.er_p, ba_m=args.ba_m,
                              hk_m=args.hk_m, hk_p=args.hk_p, ws_k=args.ws_k,
-                             ws_p=args.ws_p)
+                             ws_p=args.ws_p, hrg_deg=args.hrg_deg)
         if args.label:
             labels = greedy_mis_label(g, rng)
             nx.set_node_attributes(
@@ -126,7 +157,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("gendata")
-    g.add_argument("--model", default="er", choices=["er", "ba", "hk", "ws", "sat"])
+    g.add_argument("--model", default="er", choices=["er", "ba", "hk", "ws", "hrg", "sat"])
     g.add_argument("--num_graphs", type=int, default=16)
     g.add_argument("--min_n", type=int, default=60)
     g.add_argument("--max_n", type=int, default=80)
@@ -136,6 +167,7 @@ def main(argv=None):
     g.add_argument("--hk_p", type=float, default=0.1)
     g.add_argument("--ws_k", type=int, default=4)
     g.add_argument("--ws_p", type=float, default=0.1)
+    g.add_argument("--hrg_deg", type=float, default=8.0)
     g.add_argument("--output_dir", required=True)
     g.add_argument("--label", action="store_true")
     g.add_argument("--seed", type=int, default=0)

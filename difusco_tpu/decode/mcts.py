@@ -56,6 +56,27 @@ def tour_edges_heatmap(tours: np.ndarray, n: int) -> np.ndarray:
     return a
 
 
+def convert_with_2opt(
+    heat: np.ndarray,
+    points: np.ndarray,
+    two_opt_iterations: int = 5000,
+) -> np.ndarray:
+    """The TSP-10000 converter variant (convert_numpy_with_2opt.py:55-112):
+    merge + 2-opt the raw heatmap first and emit the resulting tour edges as
+    the MCTS heatmap. Runs the decode on device."""
+    import jax.numpy as jnp
+
+    from difusco_tpu.ops.merge import merge_heatmap_device
+    from difusco_tpu.ops.two_opt import batched_two_opt
+
+    jpts = jnp.asarray(points, jnp.float32)
+    tours, _ = merge_heatmap_device(jpts, jnp.asarray(heat, jnp.float32)[None])
+    tours, _ = batched_two_opt(jpts, tours, two_opt_iterations)
+    tour = np.asarray(tours)[0]
+    assert tour[0] == tour[-1] and len(set(tour[:-1].tolist())) == heat.shape[0]
+    return tour_edges_heatmap(tour[None], heat.shape[0])
+
+
 def write_heatmap_txt(path: str, heat: np.ndarray) -> None:
     n = heat.shape[0]
     with open(path, "w") as f:
