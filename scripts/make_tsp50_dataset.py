@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--n_val", type=int, default=128)
     ap.add_argument("--n_test", type=int, default=256)
     ap.add_argument("--nodes", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
 
     from difusco_tpu.data.tsp import write_tsp_file
@@ -64,7 +65,7 @@ def main():
     ]:
         path = os.path.join(args.out_dir, f"tsp{args.nodes}_{split}.txt")
         print(f"generating {split}: {n} instances -> {path}")
-        write_tsp_file(path, gen_split(n, args.nodes, seed))
+        write_tsp_file(path, gen_split(n, args.nodes, seed, batch=args.batch))
 
 
 if __name__ == "__main__":
