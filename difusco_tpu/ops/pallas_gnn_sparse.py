@@ -169,17 +169,143 @@ def fused_sparse_layer(
     return eout, agg
 
 
+def _make_kernel_v2(TI: int, K: int, H: int):
+    """Gather-outside variant: the kernel receives the pre-gathered neighbor
+    node features hg = h[neighbors] (one XLA HBM row-gather, bandwidth-cheap)
+    and fuses ALL three edge matmuls (A- and V-projections of hg, C of e)
+    plus the gate/aggregate/norm/time/SiLU/out-projection chain. Compute is
+    O(E H^2) and traffic O(E H), independent of V — unlike the one-hot
+    gather above (O(E V H)), this scales to TSP-10000."""
+
+    def kernel(
+        e_ref,      # (1, TI, K, H) bf16
+        hg_ref,     # (1, TI, K, H) bf16   h[neighbors]
+        bh_ref,     # (1, TI, 1, H) bf16   B h + b_b (pre-expanded: Mosaic
+                    #                      cannot shape-cast (1,TI,H)->(TI,1,H))
+        tvec_ref,   # (1, 1, H)
+        ak_ref,     # (H, H) bf16          A kernel
+        ab_ref,     # (1, H) f32           A bias
+        vk_ref,     # (H, H) bf16
+        vb_ref,     # (1, H)
+        ck_ref,     # (H, H) bf16
+        cb_ref,     # (1, H)
+        lne_s_ref,  # (1, H)
+        lne_b_ref,  # (1, H)
+        ln2_s_ref,  # (1, H)
+        ln2_b_ref,  # (1, H)
+        wout_ref,   # (H, H) bf16
+        bout_ref,   # (1, H)
+        eout_ref,   # (1, TI, K, H) bf16
+        agg_ref,    # (1, TI, H) f32
+    ):
+        hg = hg_ref[0]
+        mm = lambda a, w: jax.lax.dot_general(
+            a, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        hn_a = mm(hg, ak_ref[...]) + ab_ref[0][None, None, :]
+        hn_v = mm(hg, vk_ref[...]) + vb_ref[0][None, None, :]
+        ce = mm(e_ref[0], ck_ref[...]) + cb_ref[0][None, None, :]
+
+        e_new = ce + hn_a + bh_ref[0].astype(jnp.float32)
+        gates = jax.nn.sigmoid(e_new)
+        agg_ref[0] = jnp.sum(gates * hn_v, axis=1)
+
+        mu = jnp.mean(e_new, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(e_new - mu), axis=-1, keepdims=True)
+        e_ln = (e_new - mu) * jax.lax.rsqrt(var + 1e-6)
+        e_ln = e_ln * lne_s_ref[0][None, None, :] + lne_b_ref[0][None, None, :]
+        e_mid = jax.nn.relu(e_ln) + tvec_ref[0, 0][None, None, :].astype(jnp.float32)
+
+        mu2 = jnp.mean(e_mid, axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(e_mid - mu2), axis=-1, keepdims=True)
+        e2 = (e_mid - mu2) * jax.lax.rsqrt(var2 + 1e-6)
+        e2 = e2 * ln2_s_ref[0][None, None, :] + ln2_b_ref[0][None, None, :]
+        e2 = e2 * jax.nn.sigmoid(e2)
+
+        proj = jax.lax.dot_general(
+            e2.astype(jnp.bfloat16), wout_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout_ref[0][None, None, :]
+
+        eout_ref[0] = (e_ref[0].astype(jnp.float32) + proj).astype(eout_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_sparse_layer_v2(
+    e: jax.Array,          # (S, Vp, K, H) bf16 (Vp multiple of 8)
+    hg: jax.Array,         # (S, Vp, K, H) bf16  pre-gathered h[neighbors]
+    bh: jax.Array,         # (S, Vp, H)
+    tvec: jax.Array,       # (S, H)
+    a_kernel: jax.Array, a_bias: jax.Array,
+    v_kernel: jax.Array, v_bias: jax.Array,
+    c_kernel: jax.Array, c_bias: jax.Array,
+    lne_scale: jax.Array, lne_bias: jax.Array,
+    ln2_scale: jax.Array, ln2_bias: jax.Array,
+    w_out: jax.Array, b_out: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    S, Vp, K, H = e.shape
+    TI = 8 if Vp % 8 == 0 else Vp
+    n_tiles = Vp // TI
+
+    as2d = lambda x: x.reshape(1, -1)
+    wspec = [
+        pl.BlockSpec((H, H), lambda s, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda s, i: (0, 0)),
+    ] * 3 + [pl.BlockSpec((1, H), lambda s, i: (0, 0))] * 4 + [
+        pl.BlockSpec((H, H), lambda s, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda s, i: (0, 0)),
+    ]
+    kernel = _make_kernel_v2(TI, K, H)
+    eout, agg = pl.pallas_call(
+        kernel,
+        grid=(S, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TI, K, H), lambda s, i: (s, i, 0, 0)),
+            pl.BlockSpec((1, TI, K, H), lambda s, i: (s, i, 0, 0)),
+            pl.BlockSpec((1, TI, 1, H), lambda s, i: (s, i, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda s, i: (s, 0, 0)),
+        ] + wspec,
+        out_specs=[
+            pl.BlockSpec((1, TI, K, H), lambda s, i: (s, i, 0, 0)),
+            pl.BlockSpec((1, TI, H), lambda s, i: (s, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, Vp, K, H), e.dtype),
+            jax.ShapeDtypeStruct((S, Vp, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        e,
+        hg.astype(e.dtype),
+        bh.astype(e.dtype)[:, :, None, :],
+        tvec.astype(e.dtype)[:, None, :],
+        a_kernel.astype(jnp.bfloat16), as2d(a_bias.astype(jnp.float32)),
+        v_kernel.astype(jnp.bfloat16), as2d(v_bias.astype(jnp.float32)),
+        c_kernel.astype(jnp.bfloat16), as2d(c_bias.astype(jnp.float32)),
+        as2d(lne_scale.astype(jnp.float32)), as2d(lne_bias.astype(jnp.float32)),
+        as2d(ln2_scale.astype(jnp.float32)), as2d(ln2_bias.astype(jnp.float32)),
+        w_out.astype(jnp.bfloat16), as2d(b_out.astype(jnp.float32)),
+    )
+    return eout, agg
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def sparse_forward_fused(params, t, xt, points, neighbors,
                          n_layers: int, hidden_dim: int, out_channels: int,
-                         interpret: bool = False):
+                         interpret: bool = False, variant: str = "onehot"):
     """Full sparse TSP forward with the fused layer kernel.
 
     Args:
       xt: (S, V, K) edge noise; points (S, V, 2); neighbors (S, V, K).
+      variant: 'onehot' — in-kernel one-hot MXU gather, least HBM traffic,
+        compute O(E V H): best for small V. 'gathered' — XLA HBM row-gather
+        feeds the kernel, compute O(E H^2): best for large V (TSP-10000).
     Matches ``GNNDenoiser.apply`` (sparse=True, sum aggregation) in mixed
     precision. Inference only.
     """
@@ -216,22 +342,43 @@ def sparse_forward_fused(params, t, xt, points, neighbors,
         var = jnp.mean(jnp.square(v - mu), -1, keepdims=True)
         return (v - mu) * jax.lax.rsqrt(var + 1e-6) * px["scale"] + px["bias"]
 
+    Sp, Vpad, Kn = nbrs.shape
+
+    def gather_rows(v):  # (S, Vp, H) at nbrs -> (S, Vp, K, H)
+        flat = jnp.take_along_axis(
+            v, nbrs.reshape(Sp, Vpad * Kn, 1).astype(jnp.int32), axis=1
+        )
+        return flat.reshape(Sp, Vpad, Kn, -1)
+
     for i in range(n_layers):
         lp = p[f"layer_{i}"]
         conv = lp["conv"]
-        ha = dense(conv["A"], x)
-        hv = dense(conv["V"], x)
         bh = dense(conv["B"], x)
         uh = dense(conv["U"], x)
         tvec = dense(lp["time"]["Dense_0"], jax.nn.relu(temb))
-        e, agg = fused_sparse_layer(
-            e, nbrs, ha, hv, bh, tvec,
-            conv["C"]["kernel"], conv["C"]["bias"],
-            conv["norm_e"]["scale"], conv["norm_e"]["bias"],
-            lp["out"]["LayerNorm_0"]["scale"], lp["out"]["LayerNorm_0"]["bias"],
-            lp["out"]["Dense_0"]["kernel"], lp["out"]["Dense_0"]["bias"],
-            interpret=interpret,
-        )
+        if variant == "gathered":
+            hg = gather_rows(x.astype(bf16))
+            e, agg = fused_sparse_layer_v2(
+                e, hg, bh, tvec,
+                conv["A"]["kernel"], conv["A"]["bias"],
+                conv["V"]["kernel"], conv["V"]["bias"],
+                conv["C"]["kernel"], conv["C"]["bias"],
+                conv["norm_e"]["scale"], conv["norm_e"]["bias"],
+                lp["out"]["LayerNorm_0"]["scale"], lp["out"]["LayerNorm_0"]["bias"],
+                lp["out"]["Dense_0"]["kernel"], lp["out"]["Dense_0"]["bias"],
+                interpret=interpret,
+            )
+        else:
+            ha = dense(conv["A"], x)
+            hv = dense(conv["V"], x)
+            e, agg = fused_sparse_layer(
+                e, nbrs, ha, hv, bh, tvec,
+                conv["C"]["kernel"], conv["C"]["bias"],
+                conv["norm_e"]["scale"], conv["norm_e"]["bias"],
+                lp["out"]["LayerNorm_0"]["scale"], lp["out"]["LayerNorm_0"]["bias"],
+                lp["out"]["Dense_0"]["kernel"], lp["out"]["Dense_0"]["bias"],
+                interpret=interpret,
+            )
         x = x + jax.nn.relu(layer_norm(conv["norm_h"], uh + agg))
 
     hp = p["out_head"]

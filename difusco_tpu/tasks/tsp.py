@@ -152,15 +152,18 @@ class TSPTask:
             and pad_waste <= 1.15
         )
 
-        # sparse fused kernel: one-hot MXU gather is O(V^2 K H) — wins up to
-        # V ~ 2000 (measured 1.3x at 500, 1.7x at 1000), loses beyond
+        # sparse fused kernels: 'onehot' does the gather as an in-kernel
+        # one-hot MXU matmul (least HBM traffic, compute O(E V H)) — best for
+        # small V; 'gathered' feeds an XLA HBM row-gather into the kernel and
+        # fuses all three edge matmuls (compute O(E H^2), traffic O(E H)) —
+        # scales to TSP-10000. Crossover measured on v5e at V ~ 600.
         use_fused_sparse = (
             cfg.fused_inference
             and self.sparse
             and (cfg.bf16 or cfg.fp16)
             and jax.default_backend() != "cpu"
-            and V <= 2048
         )
+        sparse_variant = "onehot" if V <= 600 else "gathered"
 
         def apply(t_scalar, xt):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
@@ -173,6 +176,7 @@ class TSPTask:
                         n_layers=cfg.n_layers,
                         hidden_dim=cfg.hidden_dim,
                         out_channels=cfg.out_channels,
+                        variant=sparse_variant,
                     )
                 return self.model.apply(
                     params, t_vec, xt, points=pts, neighbors=nbrs

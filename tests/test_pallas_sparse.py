@@ -31,6 +31,29 @@ class TestSparseFused:
         err = np.abs(np.asarray(out) - np.asarray(ref)).max()
         assert err < 5e-2, f"V={V} K={K}: {err}"
 
+    @pytest.mark.parametrize("V,K", [(12, 5), (16, 4), (20, 7)])
+    def test_gathered_variant_matches_flax(self, V, K):
+        """The 'gathered' (XLA row-gather + in-kernel A/V/C matmuls) variant
+        must match flax like the one-hot variant does."""
+        key = jax.random.PRNGKey(0)
+        S, H, L = 2, 64, 2
+        model = GNNDenoiser(
+            n_layers=L, hidden_dim=H, out_channels=2, sparse=True,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.uniform(key, (S, V, 2))
+        xt = jax.random.bernoulli(key, 0.5, (S, V, K)).astype(jnp.float32)
+        nbrs = jax.random.randint(key, (S, V, K), 0, V)
+        t = jnp.array([5.0] * S)
+        params = model.init(key, t, xt, points=pts, neighbors=nbrs)
+        ref = model.apply(params, t, xt, points=pts, neighbors=nbrs)
+        out = sparse_forward_fused(
+            params, t, xt, pts, nbrs, n_layers=L, hidden_dim=H,
+            out_channels=2, interpret=True, variant="gathered",
+        )
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        assert err < 5e-2, f"V={V} K={K}: {err}"
+
     def test_gather_is_exact(self):
         """The one-hot gather must select the right rows: with identity-like
         params the kernel reduces to a pure gather check via the flax path,
