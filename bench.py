@@ -147,13 +147,13 @@ def bench_mis(n_instances=8):
     return float(np.mean(ratios))
 
 
-def bench_tsp500(n_instances=4):
-    """TSP-500 sparse gap (k=50, 4x parallel) on the committed checkpoint."""
+def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4):
+    """Sparse TSP gap on a committed checkpoint + test split (None if the
+    artifacts are missing)."""
     import os
 
-    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints",
-                            "tsp500_sparse_categorical")
-    test_file = os.path.join(os.path.dirname(__file__), "data", "tsp500_test.txt")
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt_name)
+    test_file = os.path.join(os.path.dirname(__file__), *test_rel.split("/"))
     if not (os.path.isdir(ckpt_dir) and os.path.exists(test_file)):
         return None
 
@@ -169,14 +169,14 @@ def bench_tsp500(n_instances=4):
         task="tsp", diffusion_type="categorical", diffusion_schedule="cosine",
         diffusion_steps=1000, inference_diffusion_steps=50,
         inference_schedule="cosine", n_layers=12, hidden_dim=256,
-        sparse_factor=50, parallel_sampling=4, two_opt_iterations=1000,
-        bf16=True,
+        sparse_factor=k, parallel_sampling=parallel_sampling,
+        two_opt_iterations=1000, bf16=True,
     )
     task = TSPTask(cfg)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
     params = state["params"]
-    ds = TSPDataset(test_file, sparse_factor=50)
+    ds = TSPDataset(test_file, sparse_factor=k)
     gaps = []
     key = jax.random.PRNGKey(0)
     for i in range(min(n_instances, len(ds))):
@@ -189,11 +189,37 @@ def bench_tsp500(n_instances=4):
     return float(np.mean(gaps))
 
 
+def bench_tsp500(n_instances=4):
+    return bench_tsp_sparse(
+        "tsp500_sparse_categorical", "data/tsp500_test.txt", k=50,
+        n_instances=n_instances,
+    )
+
+
+def bench_tsp1000(n_instances=3):
+    return bench_tsp_sparse(
+        "tsp1000_sparse_categorical", "data/tsp1000/tsp1000_test.txt", k=100,
+        n_instances=n_instances,
+    )
+
+
+def bench_tsp10000(n_instances=1):
+    """TSP-10000 (k=100) with the TSP-1000-trained model — the reference
+    evaluates TSP-10000 with its TSP-1000 checkpoint too
+    (reproducing_scripts.md:283-311). Single sampling to bound runtime."""
+    return bench_tsp_sparse(
+        "tsp1000_sparse_categorical", "data/tsp10000/tsp10000_test.txt", k=100,
+        n_instances=n_instances, parallel_sampling=1,
+    )
+
+
 def main():
     samples_per_sec, steps_per_sec, dt = bench_sampling()
     gap = bench_gap()
     mis_ratio = bench_mis()
     gap500 = bench_tsp500()
+    gap1000 = bench_tsp1000()
+    gap10000 = bench_tsp10000()
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -220,6 +246,10 @@ def main():
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
     if gap500 is not None:
         result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
+    if gap1000 is not None:
+        result["detail"]["tsp1000_gap_vs_2opt_labels"] = round(gap1000, 5)
+    if gap10000 is not None:
+        result["detail"]["tsp10000_gap_vs_2opt_labels"] = round(gap10000, 5)
     print(json.dumps(result))
 
 

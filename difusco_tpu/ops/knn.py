@@ -53,7 +53,22 @@ def knn_graph(points: jnp.ndarray, k: int, row_chunk: int = 2048) -> jnp.ndarray
     return idx.reshape(n_chunks * row_chunk, k)[:V]
 
 
-def knn_graph_numpy(points: np.ndarray, k: int) -> np.ndarray:
-    """Host oracle via brute force (ties broken by index, like argsort)."""
-    d = np.linalg.norm(points[:, None] - points[None], axis=-1)
-    return np.argsort(d, axis=-1, kind="stable")[:, :k].astype(np.int32)
+def knn_graph_numpy(points: np.ndarray, k: int, row_chunk: int = 1024) -> np.ndarray:
+    """Host oracle via brute force (ties broken by index, like argsort).
+
+    Row-chunked with argpartition so TSP-10000 needs O(chunk * V) memory
+    instead of the O(V^2 * 2) pairwise-difference tensor."""
+    pts = np.asarray(points, np.float64)
+    V = pts.shape[0]
+    out = np.empty((V, k), np.int32)
+    sq = np.sum(pts * pts, axis=1)
+    for s in range(0, V, row_chunk):
+        e = min(s + row_chunk, V)
+        # squared distances are monotone in distance; exact, no sqrt needed
+        d = sq[s:e, None] + sq[None, :] - 2.0 * (pts[s:e] @ pts.T)
+        cand = np.argpartition(d, kth=k - 1, axis=1)[:, :k]
+        cd = np.take_along_axis(d, cand, axis=1)
+        # ascending distance, ties broken by original index (argsort parity)
+        order = np.lexsort((cand, cd), axis=1)
+        out[s:e] = np.take_along_axis(cand, order, axis=1)
+    return out
