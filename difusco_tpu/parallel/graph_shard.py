@@ -104,6 +104,43 @@ def make_node_sharded_sampler(
     return wrapper
 
 
+def make_node_sharded_update(
+    task, mesh: Mesh, optimizer, node_axis: str = "node"
+):
+    """Data-parallel-free training step for ONE giant sparse graph: the
+    batch's node axis is sharded over the mesh, params/optimizer replicated.
+
+    The loss is a mean over edge slots and every model op is either
+    node-local or the (V, H) gather, so XLA lowers the sharded
+    loss/grad to per-shard compute + an all-gather of h per layer + a psum
+    of the scalar loss and the (replicated) parameter grads.
+
+    Returns update(params, opt_state, batch, key) -> (params, opt_state,
+    loss); batch arrays are (B, V, ...) with V divisible by the node axis.
+    """
+    import optax
+
+    repl = NamedSharding(mesh, P())
+    node = {
+        "points": NamedSharding(mesh, P(None, node_axis, None)),
+        "neighbors": NamedSharding(mesh, P(None, node_axis, None)),
+        "edge_labels": NamedSharding(mesh, P(None, node_axis, None)),
+    }
+
+    def update(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(task.loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        update,
+        in_shardings=(repl, repl, node, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 def sample_giant_graph(
     task, mesh: Mesh, params, points, key, n_samples: int = 1,
     node_axis: str = "node", sample_axis: Optional[str] = None,

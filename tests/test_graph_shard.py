@@ -122,6 +122,46 @@ class TestNodeSharding:
         except ValueError:
             pass
 
+    def test_node_sharded_training_matches_unsharded(self):
+        """One update step on a giant graph with the node axis sharded must
+        produce the same loss and parameters as the single-device step."""
+        import optax
+
+        from difusco_tpu.parallel.graph_shard import make_node_sharded_update
+
+        task, params, pts, nbrs = _setup(V=64, K=8, seed=2)
+        rng = np.random.default_rng(3)
+        labels = (rng.random((1, 64, 8)) < 0.1).astype(np.float32)
+        batch = {
+            "points": jnp.asarray(pts[None]),
+            "neighbors": jnp.asarray(nbrs[None]),
+            "edge_labels": jnp.asarray(labels),
+        }
+        key = jax.random.PRNGKey(11)
+
+        opt = optax.adamw(1e-3)
+
+        def ref_update(p, o, b, k):
+            loss, g = jax.value_and_grad(task.loss_fn)(p, b, k)
+            u, o = opt.update(g, o, p)
+            return optax.apply_updates(p, u), o, loss
+
+        p_ref, _, loss_ref = jax.jit(ref_update)(
+            params, opt.init(params), batch, key
+        )
+
+        mesh = make_mesh((8,), ("node",))
+        upd = make_node_sharded_update(task, mesh, opt)
+        p_sh, _, loss_sh = upd(params, opt.init(params), batch, key)
+
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+        flat_ref = jax.tree.leaves(p_ref)
+        flat_sh = jax.tree.leaves(p_sh)
+        for a, b in zip(flat_ref, flat_sh):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
     def test_sample_giant_graph_end_to_end(self):
         """Convenience wrapper: kNN + pad + shard + trim, then decode."""
         task, params, pts, _ = _setup(V=100, K=8)
