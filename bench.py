@@ -109,13 +109,14 @@ def bench_gap(n_instances=16):
     return float(np.mean(gaps))
 
 
-def bench_mis(n_instances=8):
-    """MIS solved/label set-size ratio on the committed ER checkpoint."""
+def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
+              data_dir="mis_er_small_test", hidden_dim=128):
+    """MIS solved/label set-size ratio on a committed checkpoint."""
     import os
 
-    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", "mis_er_categorical")
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt_name)
     data_glob = os.path.join(os.path.dirname(__file__), "data",
-                             "mis_er_small_test", "*.gpickle")
+                             data_dir, "*.gpickle")
     import glob as g
 
     if not (os.path.isdir(ckpt_dir) and g.glob(data_glob)):
@@ -131,7 +132,7 @@ def bench_mis(n_instances=8):
     cfg = Config(
         task="mis", diffusion_type="categorical", diffusion_schedule="cosine",
         diffusion_steps=1000, inference_diffusion_steps=50,
-        inference_schedule="cosine", n_layers=12, hidden_dim=128,
+        inference_schedule="cosine", n_layers=12, hidden_dim=hidden_dim,
         parallel_sampling=4, bf16=True,
     )
     task = MISTask(cfg)
@@ -217,6 +218,9 @@ def main():
     samples_per_sec, steps_per_sec, dt = bench_sampling()
     gap = bench_gap()
     mis_ratio = bench_mis()
+    mis_sat_ratio = bench_mis(
+        ckpt_name="mis_sat_categorical", data_dir="mis_sat_test"
+    )
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
@@ -244,6 +248,8 @@ def main():
         )
     if mis_ratio is not None:
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
+    if mis_sat_ratio is not None:
+        result["detail"]["mis_sat_setsize_vs_labels"] = round(mis_sat_ratio, 5)
     if gap500 is not None:
         result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
     if gap1000 is not None:

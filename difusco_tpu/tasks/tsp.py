@@ -156,14 +156,16 @@ class TSPTask:
         # one-hot MXU matmul (least HBM traffic, compute O(E V H)) — best for
         # small V; 'gathered' feeds an XLA HBM row-gather into the kernel and
         # fuses all three edge matmuls (compute O(E H^2), traffic O(E H)) —
-        # scales to TSP-10000. Crossover measured on v5e at V ~ 600.
+        # scales to TSP-10000 (1.8x over the XLA path at V=10000). Measured
+        # on v5e: onehot wins at V=500 (23 vs 30 ms) and V=1000 (78 vs 98);
+        # gathered wins for larger V.
         use_fused_sparse = (
             cfg.fused_inference
             and self.sparse
             and (cfg.bf16 or cfg.fp16)
             and jax.default_backend() != "cpu"
         )
-        sparse_variant = "onehot" if V <= 600 else "gathered"
+        sparse_variant = "onehot" if V <= 1200 else "gathered"
 
         def apply(t_scalar, xt):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
