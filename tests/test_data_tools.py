@@ -100,6 +100,57 @@ class TestMISSolvers:
         with pytest.raises(RuntimeError, match="redumis"):
             solve_kamis(graph)
 
+    def test_fetch_optima_csv(self, graphs, tmp_path):
+        import pickle
+
+        from difusco_tpu.data.aggregate import main as agg_main
+
+        # the fixture graphs are unlabeled, so optima come out as empty cells
+        csv_path = str(tmp_path / "optima.csv")
+        agg_main(["optima", "--input", os.path.join(graphs, "*.gpickle"),
+                  "--output", csv_path])
+        with open(csv_path) as f:
+            lines = f.read().splitlines()
+        assert lines[0] == "graph,nodes,edges,optimal_mis,optimal_mwis"
+        assert len(lines) == 5
+        # now attach labels and check optima are summed
+        import glob as g
+        first = sorted(g.glob(os.path.join(graphs, "*.gpickle")))[0]
+        with open(first, "rb") as f:
+            gr = pickle.load(f)
+        for n in gr.nodes:
+            gr.nodes[n]["label"] = 1 if n % 7 == 0 else 0
+        labeled = str(tmp_path / "labeled.gpickle")
+        with open(labeled, "wb") as f:
+            pickle.dump(gr, f, protocol=4)
+        agg_main(["optima", "--input", labeled, "--output", csv_path])
+        with open(csv_path) as f:
+            rows = f.read().splitlines()
+        assert rows[1].split(",")[3] == str(
+            sum(1 for n in gr.nodes if n % 7 == 0))
+
+
+class TestRunAggregator:
+    def test_aggregate_runs(self, tmp_path):
+        import json
+
+        from difusco_tpu.data.aggregate import main as agg_main
+
+        run_dir = tmp_path / "runs" / "models" / "tsp" / "r0"
+        run_dir.mkdir(parents=True)
+        with open(run_dir / "metrics.jsonl", "w") as f:
+            f.write(json.dumps({"step": 1, "ts": 0.0, "train/loss": 0.9}) + "\n")
+            f.write(json.dumps({"step": 5, "ts": 1.0, "train/loss": 0.4,
+                                "val/solved_cost": 3.2}) + "\n")
+        csv_path = str(tmp_path / "runs.csv")
+        agg_main(["runs", "--input", str(tmp_path / "runs"),
+                  "--output", csv_path])
+        with open(csv_path) as f:
+            header, row = f.read().splitlines()
+        assert header == "run,last_step,train/loss,val/solved_cost"
+        cols = row.split(",")
+        assert cols[1] == "5" and float(cols[2]) == 0.4
+
 
 class TestMergeBackends:
     def _setup(self, tsp_file, backend):
