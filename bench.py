@@ -214,6 +214,71 @@ def bench_tsp10000(n_instances=1):
     )
 
 
+def bench_mcts_tsp500(n_instances=2, time_per_city=0.02):
+    """Full MCTS decode pipeline on TSP-500: sample heatmaps with the sparse
+    checkpoint, sparsify/row-normalize, run the native C++ solver. Returns
+    the solver's average gap vs the instance labels (negative = MCTS beats
+    the NN+2-opt labels). Small time budget to bound bench runtime."""
+    import os
+    import tempfile
+
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints",
+                            "tsp500_sparse_categorical")
+    test_file = os.path.join(os.path.dirname(__file__), "data",
+                             "tsp500_test.txt")
+    mcts_bin = os.path.join(os.path.dirname(__file__), "native", "build",
+                            "tsp_mcts")
+    if not (os.path.isdir(ckpt_dir) and os.path.exists(test_file)
+            and os.path.exists(mcts_bin)):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from difusco_tpu.config import Config
+    from difusco_tpu.data.tsp import TSPDataset
+    from difusco_tpu.decode.mcts import (run_mcts, sparsify_heatmap,
+                                         write_heatmap_txt)
+    from difusco_tpu.tasks.tsp import TSPTask
+
+    cfg = Config(
+        task="tsp", diffusion_type="categorical", diffusion_schedule="cosine",
+        diffusion_steps=1000, inference_diffusion_steps=50,
+        inference_schedule="cosine", n_layers=12, hidden_dim=256,
+        sparse_factor=50, parallel_sampling=1, bf16=True,
+    )
+    task = TSPTask(cfg)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
+    params = state["params"]
+    ds = TSPDataset(test_file, sparse_factor=50)
+    n = min(n_instances, len(ds))
+    with tempfile.TemporaryDirectory() as tmp:
+        key = jax.random.PRNGKey(0)
+        for i in range(n):
+            ex = ds.get(i)
+            heat = task.sample(
+                params, jnp.asarray(ex["points"]), jax.random.fold_in(key, i),
+                1, neighbors=jnp.asarray(ex["neighbors"]),
+            )
+            h = np.asarray(heat)[0]
+            V, K = h.shape
+            dense = np.zeros((V, V), np.float32)
+            rows = np.arange(V)[:, None].repeat(K, 1)
+            dense[rows, np.asarray(ex["neighbors"])] = h
+            write_heatmap_txt(
+                os.path.join(tmp, f"h_{i}.txt"),
+                sparsify_heatmap(dense, np.asarray(ex["points"])),
+            )
+        stats = run_mcts(
+            test_file, os.path.join(tmp, "h_{i}.txt"),
+            os.path.join(tmp, "stats.txt"), time_per_city=time_per_city,
+            threads=n, extra_args=["--count", str(n)],
+        )
+    return stats["avg_gap_percent"] / 100.0
+
+
 def main():
     samples_per_sec, steps_per_sec, dt = bench_sampling()
     gap = bench_gap()
@@ -224,6 +289,7 @@ def main():
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
+    mcts500 = bench_mcts_tsp500()
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -256,6 +322,8 @@ def main():
         result["detail"]["tsp1000_gap_vs_2opt_labels"] = round(gap1000, 5)
     if gap10000 is not None:
         result["detail"]["tsp10000_gap_vs_2opt_labels"] = round(gap10000, 5)
+    if mcts500 is not None:
+        result["detail"]["tsp500_mcts_gap_vs_2opt_labels"] = round(mcts500, 5)
     print(json.dumps(result))
 
 
