@@ -63,16 +63,16 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     return samples_per_sec, denoise_steps_per_sec, dt
 
 
-def bench_gap(n_instances=16):
-    """Solved-gap benchmark on the committed TSP-50 checkpoint + test split.
+def bench_gap(n_instances=16, ckpt="tsp50_categorical_step1248",
+              diffusion_type="categorical"):
+    """Solved-gap benchmark on a committed TSP-50 checkpoint + test split.
 
     Gap is measured against the dataset's NN+2-opt labels (negative = the
     diffusion solver beats the labels). Returns None if the artifacts are
     missing."""
     import os
 
-    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints",
-                            "tsp50_categorical_step1248")
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt)
     test_file = os.path.join(os.path.dirname(__file__), "data", "tsp50",
                              "tsp50_test.txt")
     if not (os.path.isdir(ckpt_dir) and os.path.exists(test_file)):
@@ -86,10 +86,14 @@ def bench_gap(n_instances=16):
     from difusco_tpu.data.tsp import TSPDataset
     from difusco_tpu.tasks.tsp import TSPTask
 
+    gaussian = diffusion_type == "gaussian"
     cfg = Config(
-        task="tsp", diffusion_type="categorical", diffusion_schedule="cosine",
+        task="tsp", diffusion_type=diffusion_type,
+        diffusion_schedule="linear" if gaussian else "cosine",
         diffusion_steps=1000, inference_diffusion_steps=50,
-        inference_schedule="cosine", n_layers=12, hidden_dim=256,
+        inference_schedule="cosine",
+        inference_trick="ddim" if gaussian else None,
+        n_layers=12, hidden_dim=256,
         parallel_sampling=4, two_opt_iterations=1000, bf16=True,
     )
     task = TSPTask(cfg)
@@ -290,6 +294,7 @@ def main():
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
     mcts500 = bench_mcts_tsp500()
+    gap_gaussian = bench_gap(ckpt="tsp50_gaussian", diffusion_type="gaussian")
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -324,6 +329,9 @@ def main():
         result["detail"]["tsp10000_gap_vs_2opt_labels"] = round(gap10000, 5)
     if mcts500 is not None:
         result["detail"]["tsp500_mcts_gap_vs_2opt_labels"] = round(mcts500, 5)
+    if gap_gaussian is not None:
+        result["detail"]["tsp50_gaussian_gap_vs_2opt_labels"] = round(
+            gap_gaussian, 5)
     print(json.dumps(result))
 
 
