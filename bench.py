@@ -64,8 +64,8 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
 
 
 def bench_gap(n_instances=16, ckpt="tsp50_categorical_step1248",
-              diffusion_type="categorical"):
-    """Solved-gap benchmark on a committed TSP-50 checkpoint + test split.
+              diffusion_type="categorical", test_rel="data/tsp50/tsp50_test.txt"):
+    """Solved-gap benchmark on a committed dense-TSP checkpoint + test split.
 
     Gap is measured against the dataset's NN+2-opt labels (negative = the
     diffusion solver beats the labels). Returns None if the artifacts are
@@ -73,8 +73,7 @@ def bench_gap(n_instances=16, ckpt="tsp50_categorical_step1248",
     import os
 
     ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt)
-    test_file = os.path.join(os.path.dirname(__file__), "data", "tsp50",
-                             "tsp50_test.txt")
+    test_file = os.path.join(os.path.dirname(__file__), *test_rel.split("/"))
     if not (os.path.isdir(ckpt_dir) and os.path.exists(test_file)):
         return None
 
@@ -295,6 +294,8 @@ def main():
     gap10000 = bench_tsp10000()
     mcts500 = bench_mcts_tsp500()
     gap_gaussian = bench_gap(ckpt="tsp50_gaussian", diffusion_type="gaussian")
+    gap100 = bench_gap(ckpt="tsp100_categorical",
+                       test_rel="data/tsp100/tsp100_test.txt")
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
     # 20 samples/s for TSP-50x32 on a datacenter GPU (50 model fwds + host
@@ -332,6 +333,8 @@ def main():
     if gap_gaussian is not None:
         result["detail"]["tsp50_gaussian_gap_vs_2opt_labels"] = round(
             gap_gaussian, 5)
+    if gap100 is not None:
+        result["detail"]["tsp100_gap_vs_2opt_labels"] = round(gap100, 5)
     print(json.dumps(result))
 
 
