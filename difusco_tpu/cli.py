@@ -71,7 +71,15 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_numpy_heatmap", action="store_true")
 
     p.add_argument("--project_name", type=str, default="tsp_diffusion")
-    p.add_argument("--logger_name", type=str, default=None)
+    p.add_argument("--wandb_entity", type=str, default=None)
+    p.add_argument(
+        "--logger_name", "--wandb_logger_name", dest="logger_name",
+        type=str, default=None,
+    )
+    # accepted for reference command-line compatibility; data loading here is
+    # synchronous host prep feeding an async device pipeline, so the torch
+    # DataLoader worker count has no equivalent knob
+    p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--resume_id", type=str, default=None)
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--resume_weight_only", action="store_true")

@@ -107,3 +107,34 @@ class TestCheckpointKeeper:
         step, state = keeper.restore_last()
         assert step == 4
         keeper.close()
+
+
+class TestArgParserCompat:
+    def test_reference_flag_surface_accepted(self):
+        """Every flag of the reference arg_parser (train.py:19-68) parses."""
+        from difusco_tpu.cli import arg_parser, config_from_args
+
+        args = arg_parser().parse_args([
+            "--task", "tsp", "--storage_path", "/tmp/x",
+            "--training_split", "a.txt", "--training_split_label_dir", "lbl",
+            "--validation_split", "b.txt", "--test_split", "c.txt",
+            "--validation_examples", "8", "--batch_size", "4",
+            "--num_epochs", "1", "--learning_rate", "2e-4",
+            "--weight_decay", "1e-4", "--lr_scheduler", "cosine-decay",
+            "--num_workers", "16", "--fp16", "--use_activation_checkpoint",
+            "--diffusion_type", "categorical", "--diffusion_schedule", "cosine",
+            "--diffusion_steps", "100", "--inference_diffusion_steps", "10",
+            "--inference_schedule", "cosine", "--inference_trick", "ddim",
+            "--sequential_sampling", "2", "--parallel_sampling", "2",
+            "--n_layers", "2", "--hidden_dim", "32", "--sparse_factor", "-1",
+            "--aggregation", "sum", "--two_opt_iterations", "100",
+            "--save_numpy_heatmap", "--project_name", "p",
+            "--wandb_entity", "me", "--wandb_logger_name", "runname",
+            "--resume_id", "rid", "--ckpt_path", "ck",
+            "--resume_weight_only", "--do_train", "--do_test",
+        ])
+        assert args.logger_name == "runname"
+        assert args.wandb_entity == "me"
+        cfg = config_from_args(args)
+        assert cfg.logger_name == "runname"
+        assert cfg.fp16 and cfg.resume_weight_only
