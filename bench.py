@@ -151,7 +151,8 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
     return float(np.mean(ratios))
 
 
-def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4):
+def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4,
+                     two_opt_iterations=1000):
     """Sparse TSP gap on a committed checkpoint + test split (None if the
     artifacts are missing)."""
     import os
@@ -174,7 +175,7 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4)
         diffusion_steps=1000, inference_diffusion_steps=50,
         inference_schedule="cosine", n_layers=12, hidden_dim=256,
         sparse_factor=k, parallel_sampling=parallel_sampling,
-        two_opt_iterations=1000, bf16=True,
+        two_opt_iterations=two_opt_iterations, bf16=True,
     )
     task = TSPTask(cfg)
     with ocp.StandardCheckpointer() as ckptr:
@@ -210,10 +211,11 @@ def bench_tsp1000(n_instances=3):
 def bench_tsp10000(n_instances=1):
     """TSP-10000 (k=100) with the TSP-1000-trained model — the reference
     evaluates TSP-10000 with its TSP-1000 checkpoint too
-    (reproducing_scripts.md:283-311). Single sampling to bound runtime."""
+    (reproducing_scripts.md:283-311), with --two_opt_iterations 5000.
+    Single sampling to bound runtime."""
     return bench_tsp_sparse(
         "tsp1000_sparse_categorical", "data/tsp10000/tsp10000_test.txt", k=100,
-        n_instances=n_instances, parallel_sampling=1,
+        n_instances=n_instances, parallel_sampling=1, two_opt_iterations=5000,
     )
 
 
