@@ -101,6 +101,35 @@ def sat_to_mis(clauses) -> "nx.Graph":
     return g
 
 
+def planted_sat_clauses(n_clauses: int, n_vars: int, rng: np.random.Generator):
+    """Random 3-SAT clauses satisfied by a planted assignment.
+
+    Returns (clauses, labels) where ``labels`` marks, per clause, one literal
+    occurrence that is true under the planted assignment. Those nodes form an
+    independent set of size n_clauses in the SAT->MIS reduction graph —
+    clause cliques contribute one node each, and true literals can never be
+    complementary — and since the MIS of the reduction is at most the clause
+    count, the label is provably OPTIMAL. This yields exact training labels
+    with no external solver (the reference needs KaMIS/Gurobi for this;
+    solvers/kamis.py:81-125)."""
+    assignment = rng.random(n_vars + 1) < 0.5  # 1-indexed truth values
+    clauses = []
+    label_pos = []
+    for _ in range(n_clauses):
+        vs = rng.choice(np.arange(1, n_vars + 1), 3, replace=False)
+        signs = rng.random(3) < 0.5  # True -> positive literal
+        # force satisfiability: flip one random literal to agree with the
+        # planted assignment
+        j = int(rng.integers(3))
+        signs[j] = assignment[vs[j]]
+        clause = [int(v) if s else -int(v) for v, s in zip(vs, signs)]
+        # label: a uniformly random true literal of the clause
+        true_idx = [k for k in range(3) if signs[k] == assignment[vs[k]]]
+        label_pos.append(int(true_idx[int(rng.integers(len(true_idx)))]))
+        clauses.append(clause)
+    return clauses, label_pos
+
+
 def greedy_mis_label(g: "nx.Graph", rng: np.random.Generator, restarts: int = 8):
     """Randomized greedy (min-degree biased) with restarts; decent labels for
     smoke datasets. Returns a 0/1 array over nodes."""
@@ -131,18 +160,27 @@ def gendata(args):
         n = int(rng.integers(args.min_n, args.max_n + 1))
         if args.model == "sat":
             n_vars = max(3, n // 3)
-            clauses = [
-                [int(s * v) for s, v in zip(rng.choice([-1, 1], 3),
-                                            rng.choice(np.arange(1, n_vars + 1), 3,
-                                                       replace=False))]
-                for _ in range(n)
-            ]
-            g = sat_to_mis(clauses)
+            if args.sat_planted:
+                clauses, label_pos = planted_sat_clauses(n, n_vars, rng)
+                g = sat_to_mis(clauses)
+                labels = np.zeros(g.number_of_nodes(), np.int64)
+                labels[np.arange(n) * 3 + np.asarray(label_pos)] = 1
+                nx.set_node_attributes(
+                    g, {i: int(labels[i]) for i in g.nodes}, "label"
+                )
+            else:
+                clauses = [
+                    [int(s * v) for s, v in zip(rng.choice([-1, 1], 3),
+                                                rng.choice(np.arange(1, n_vars + 1), 3,
+                                                           replace=False))]
+                    for _ in range(n)
+                ]
+                g = sat_to_mis(clauses)
         else:
             g = random_graph(args.model, n, rng, er_p=args.er_p, ba_m=args.ba_m,
                              hk_m=args.hk_m, hk_p=args.hk_p, ws_k=args.ws_k,
                              ws_p=args.ws_p, hrg_deg=args.hrg_deg)
-        if args.label:
+        if args.label and not (args.model == "sat" and args.sat_planted):
             labels = greedy_mis_label(g, rng)
             nx.set_node_attributes(
                 g, {i: int(labels[i]) for i in g.nodes}, "label"
@@ -170,6 +208,11 @@ def main(argv=None):
     g.add_argument("--hrg_deg", type=float, default=8.0)
     g.add_argument("--output_dir", required=True)
     g.add_argument("--label", action="store_true")
+    g.add_argument(
+        "--sat_planted", action="store_true",
+        help="SAT model: plant a satisfying assignment and emit provably "
+        "optimal MIS labels (no external solver needed)",
+    )
     g.add_argument("--seed", type=int, default=0)
     g.set_defaults(fn=gendata)
     args = p.parse_args(argv)

@@ -238,3 +238,42 @@ class TestHeatmapSaving:
                 jax.random.PRNGKey(0),
                 save_heatmap_dir=str(tmp_path / "x"),
             )
+
+
+class TestPlantedSAT:
+    def test_planted_labels_are_optimal_mis(self):
+        """Planted SAT labels form an independent set of size == clause count
+        (= the provable MIS optimum of a satisfiable reduction)."""
+        import numpy as np
+
+        from difusco_tpu.data.generate_mis import planted_sat_clauses, sat_to_mis
+
+        rng = np.random.default_rng(0)
+        for trial in range(4):
+            m = int(rng.integers(20, 60))
+            clauses, label_pos = planted_sat_clauses(m, max(3, m // 3), rng)
+            g = sat_to_mis(clauses)
+            picked = [ci * 3 + p for ci, p in enumerate(label_pos)]
+            assert len(picked) == m
+            pset = set(picked)
+            for u in picked:
+                for v in g.neighbors(u):
+                    assert v not in pset or v == u
+
+    def test_gendata_cli_planted(self, tmp_path):
+        import pickle
+
+        from difusco_tpu.data.generate_mis import main
+
+        out = tmp_path / "satp"
+        main(["gendata", "--model", "sat", "--num_graphs", "2",
+              "--min_n", "20", "--max_n", "30", "--sat_planted",
+              "--output_dir", str(out), "--seed", "1"])
+        files = sorted(out.glob("*.gpickle"))
+        assert len(files) == 2
+        g = pickle.load(open(files[0], "rb"))
+        import networkx as nx
+
+        lbl = nx.get_node_attributes(g, "label")
+        m = g.number_of_nodes() // 3
+        assert sum(lbl.values()) == m
