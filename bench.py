@@ -291,6 +291,12 @@ def main():
     mis_sat_ratio = bench_mis(
         ckpt_name="mis_sat_categorical", data_dir="mis_sat_test"
     )
+    # planted-SAT split: labels are PROVABLY OPTIMAL independent sets, so this
+    # ratio is a true fraction-of-optimum (the paper's SATLIB metric shape)
+    mis_satp_ratio = bench_mis(
+        ckpt_name="mis_satp_categorical", data_dir="mis_satp_test",
+        hidden_dim=256,
+    )
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
@@ -324,6 +330,8 @@ def main():
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
     if mis_sat_ratio is not None:
         result["detail"]["mis_sat_setsize_vs_labels"] = round(mis_sat_ratio, 5)
+    if mis_satp_ratio is not None:
+        result["detail"]["mis_sat_setsize_vs_optimal"] = round(mis_satp_ratio, 5)
     if gap500 is not None:
         result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
     if gap1000 is not None:
