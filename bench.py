@@ -113,7 +113,8 @@ def bench_gap(n_instances=16, ckpt="tsp50_categorical_step1248",
 
 
 def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
-              data_dir="mis_er_small_test", hidden_dim=128):
+              data_dir="mis_er_small_test", hidden_dim=128,
+              diffusion_type="categorical"):
     """MIS solved/label set-size ratio on a committed checkpoint."""
     import os
 
@@ -132,10 +133,14 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
     from difusco_tpu.data.mis import MISDataset
     from difusco_tpu.tasks.mis import MISTask
 
+    gaussian = diffusion_type == "gaussian"
     cfg = Config(
-        task="mis", diffusion_type="categorical", diffusion_schedule="cosine",
+        task="mis", diffusion_type=diffusion_type,
+        diffusion_schedule="linear" if gaussian else "cosine",
         diffusion_steps=1000, inference_diffusion_steps=50,
-        inference_schedule="cosine", n_layers=12, hidden_dim=hidden_dim,
+        inference_schedule="cosine",
+        inference_trick="ddim" if gaussian else None,
+        n_layers=12, hidden_dim=hidden_dim,
         parallel_sampling=4, bf16=True,
     )
     task = MISTask(cfg)
@@ -297,6 +302,12 @@ def main():
         ckpt_name="mis_satp_categorical", data_dir="mis_satp_test",
         hidden_dim=256,
     )
+    # gaussian MIS (reference ER config, reproducing_scripts.md:340-368);
+    # expected well below categorical — the paper's discrete >> continuous
+    # finding for MIS
+    mis_er_gauss = bench_mis(
+        ckpt_name="mis_er_gaussian", diffusion_type="gaussian"
+    )
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
@@ -332,6 +343,9 @@ def main():
         result["detail"]["mis_sat_setsize_vs_labels"] = round(mis_sat_ratio, 5)
     if mis_satp_ratio is not None:
         result["detail"]["mis_sat_setsize_vs_optimal"] = round(mis_satp_ratio, 5)
+    if mis_er_gauss is not None:
+        result["detail"]["mis_er_gaussian_setsize_vs_labels"] = round(
+            mis_er_gauss, 5)
     if gap500 is not None:
         result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
     if gap1000 is not None:
