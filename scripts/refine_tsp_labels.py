@@ -105,6 +105,8 @@ def main():
                      tours_path=os.path.join(tmp, "tours.txt"))
             line = open(os.path.join(tmp, "tours.txt")).readline().split()
             mt = np.asarray([int(x) - 1 for x in line], np.int64)
+            if len(mt) == V + 1 and mt[0] == mt[-1]:
+                mt = mt[:-1]  # solver emits closed tours
             assert len(set(mt.tolist())) == V and len(mt) == V, "bad MCTS tour"
             mt = np.concatenate([mt, mt[:1]])
             mc = float(tour_cost(jpts, jnp.asarray(mt)))
