@@ -197,13 +197,25 @@ def run(cfg: Config) -> dict:
 
     params = None
     if cfg.ckpt_path:
-        keeper_in = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)
-        if cfg.resume_weight_only:
-            params = keeper_in.restore_weights_only()
+        if os.path.isdir(os.path.join(cfg.ckpt_path, "default")):
+            # raw orbax step dir (e.g. a committed checkpoints/<name>/);
+            # weights-only by construction — analogous to pointing the
+            # reference's --ckpt_path at a bare .ckpt file
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                state = ckptr.restore(
+                    os.path.join(os.path.abspath(cfg.ckpt_path), "default")
+                )
+            params = state["params"]
         else:
-            _, state = keeper_in.restore_last()
-            params = state["params"] if state else None
-        keeper_in.close()
+            keeper_in = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)
+            if cfg.resume_weight_only:
+                params = keeper_in.restore_weights_only()
+            else:
+                _, state = keeper_in.restore_last()
+                params = state["params"] if state else None
+            keeper_in.close()
 
     final_metrics: dict = {}
     if cfg.do_train:

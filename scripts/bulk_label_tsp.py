@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--two_opt_iterations", type=int, default=1000)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="refine only the first N instances (0 = all); the "
+                         "rest pass through unchanged")
+    ap.add_argument("--out", default=None,
+                    help="output path (default: rewrite --split in place)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +77,8 @@ def main():
         return best_tours, best_costs, label_costs
 
     ds = TSPDataset(args.split)
-    n = len(ds)
+    n = len(ds) if not args.limit else min(args.limit, len(ds))
+    out_path = args.out or args.split
     key = jax.random.PRNGKey(77)
     out = []
     improved = 0
@@ -100,9 +106,18 @@ def main():
             rate = (s + B) / max(time.time() - t0, 1e-9)
             print(f"  {s + len(idx)}/{n} ({rate:.0f} inst/s, "
                   f"{improved} improved)", flush=True)
+            # crash-safe partial output: refined prefix so far
+            write_tsp_file(out_path + ".partial", out)
 
-    write_tsp_file(args.split, out)
-    print(f"rewrote {args.split}: {improved}/{n} labels improved")
+    # instances beyond --limit pass through unchanged
+    for i in range(n, len(ds)):
+        ex = ds.get(i)
+        out.append((np.asarray(ex["points"], np.float64),
+                    np.asarray(ex["tour"])))
+    write_tsp_file(out_path, out)
+    if os.path.exists(out_path + ".partial"):
+        os.remove(out_path + ".partial")
+    print(f"rewrote {out_path}: {improved}/{n} labels improved")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,38 @@ class TestCLI:
         metrics = run(config_from_args(args))
         assert np.isfinite(metrics["val/solved_cost"])
 
+    def test_ckpt_path_raw_orbax_dir(self, storage, tmp_path):
+        """--ckpt_path also accepts a bare orbax step dir (the layout the
+        committed checkpoints/ use), analogous to the reference's .ckpt file."""
+        import orbax.checkpoint as ocp
+
+        from difusco_tpu.cli import arg_parser, config_from_args, run
+        from difusco_tpu.train.checkpoint import CheckpointKeeper
+
+        keeper = CheckpointKeeper(
+            os.path.join(storage, "models", "smoke", "run", "checkpoints")
+        )
+        _, state = keeper.restore_best()
+        keeper.close()
+        raw = tmp_path / "raw_ckpt"
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(str(raw / "default"), {"params": state["params"]})
+
+        args = arg_parser().parse_args(
+            COMMON
+            + [
+                "--storage_path", storage,
+                "--training_split", "tsp12.txt",
+                "--validation_split", "tsp12.txt",
+                "--test_split", "tsp12.txt",
+                "--do_test", "--do_valid_only",
+                "--ckpt_path", str(raw),
+                "--logger_name", "rawresume",
+            ]
+        )
+        metrics = run(config_from_args(args))
+        assert np.isfinite(metrics["val/solved_cost"])
+
 
 class TestCheckpointKeeper:
     def test_best_and_last_tracking(self, tmp_path):
