@@ -102,6 +102,48 @@ class TestMCTSSolver:
                 assert len(t) == 31 and t[0] == t[-1]
                 assert sorted(t[:-1]) == list(range(30))
 
+    def test_mcts_polish_labels_keep_if_better(self, setup, tmp_path):
+        """scripts/mcts_polish_labels.py rewrites a split in place; every
+        label can only get shorter (keep-if-better) and stays a valid tour."""
+        import shutil
+        import subprocess
+        import sys
+
+        from difusco_tpu.data.tsp import TSPDataset
+        from difusco_tpu.ops.two_opt import tour_cost
+
+        import jax.numpy as jnp
+
+        _, inst_path = setup
+        split = str(tmp_path / "split.txt")
+        shutil.copy(inst_path, split)
+        before = TSPDataset(split)
+        costs0 = [
+            float(tour_cost(jnp.asarray(before.get(i)["points"], jnp.float32),
+                            jnp.asarray(before.get(i)["tour"])))
+            for i in range(len(before))
+        ]
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "mcts_polish_labels.py",
+        )
+        subprocess.run(
+            [sys.executable, script, "--split", split, "--time", "0.01",
+             "--threads", "3"],
+            check=True, capture_output=True, text=True, timeout=300,
+        )
+        after = TSPDataset(split)
+        assert len(after) == len(before)
+        for i in range(len(after)):
+            ex = after.get(i)
+            V = len(ex["points"])
+            t = np.asarray(ex["tour"])
+            assert len(t) == V + 1 and t[0] == t[-1]
+            assert sorted(t[:-1].tolist()) == list(range(V))
+            c = float(tour_cost(jnp.asarray(ex["points"], jnp.float32),
+                                jnp.asarray(t)))
+            assert c <= costs0[i] + 1e-6
+
 
 class TestSparsifier:
     def test_row_normalized_and_connected(self):
