@@ -63,7 +63,7 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     return samples_per_sec, denoise_steps_per_sec, dt
 
 
-def bench_gap(n_instances=16, ckpt="tsp50_categorical_step1248",
+def bench_gap(n_instances=32, ckpt="tsp50_categorical_v3",
               diffusion_type="categorical", test_rel="data/tsp50/tsp50_test.txt"):
     """Solved-gap benchmark on a committed dense-TSP checkpoint + test split.
 
@@ -336,7 +336,7 @@ def main():
     if gap is not None:
         result["detail"]["tsp50_gap_vs_best_known"] = round(gap, 5)
         result["detail"]["gap_config"] = (
-            "trained ckpt step1248, 16 test instances, 4x parallel sampling; labels = best-known tours (model+MCTS refined, scripts/refine_tsp_labels.py)"
+            "self-distilled ckpt v3 (2 rounds of keep-if-better label refinement + retraining), 32 test instances, 4x parallel sampling; labels = best-known tours (model+MCTS refined)"
         )
     if mis_ratio is not None:
         result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
