@@ -314,7 +314,7 @@ def main():
     gap10000 = bench_tsp10000()
     mcts500 = bench_mcts_tsp500()
     gap_gaussian = bench_gap(ckpt="tsp50_gaussian", diffusion_type="gaussian")
-    gap100 = bench_gap(ckpt="tsp100_categorical",
+    gap100 = bench_gap(ckpt="tsp100_categorical_v2",
                        test_rel="data/tsp100/tsp100_test.txt")
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
@@ -348,13 +348,13 @@ def main():
         result["detail"]["mis_er_gaussian_setsize_vs_labels"] = round(
             mis_er_gauss, 5)
     if gap500 is not None:
-        result["detail"]["tsp500_gap_vs_2opt_labels"] = round(gap500, 5)
+        result["detail"]["tsp500_gap_vs_best_known"] = round(gap500, 5)
     if gap1000 is not None:
-        result["detail"]["tsp1000_gap_vs_2opt_labels"] = round(gap1000, 5)
+        result["detail"]["tsp1000_gap_vs_best_known"] = round(gap1000, 5)
     if gap10000 is not None:
         result["detail"]["tsp10000_gap_vs_2opt_labels"] = round(gap10000, 5)
     if mcts500 is not None:
-        result["detail"]["tsp500_mcts_gap_vs_2opt_labels"] = round(mcts500, 5)
+        result["detail"]["tsp500_mcts_gap_vs_best_known"] = round(mcts500, 5)
     if gap_gaussian is not None:
         result["detail"]["tsp50_gaussian_gap_vs_best_known"] = round(
             gap_gaussian, 5)
