@@ -307,7 +307,7 @@ def main():
     # expected well below categorical — the paper's discrete >> continuous
     # finding for MIS
     mis_er_gauss = bench_mis(
-        ckpt_name="mis_er_gaussian", diffusion_type="gaussian"
+        ckpt_name="mis_er_gaussian_v2", diffusion_type="gaussian"
     )
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
