@@ -314,7 +314,7 @@ def main():
     gap10000 = bench_tsp10000()
     mcts500 = bench_mcts_tsp500()
     gap_gaussian = bench_gap(ckpt="tsp50_gaussian_v2", diffusion_type="gaussian")
-    gap100 = bench_gap(ckpt="tsp100_categorical_v2",
+    gap100 = bench_gap(ckpt="tsp100_categorical_v3",
                        test_rel="data/tsp100/tsp100_test.txt")
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
