@@ -68,6 +68,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse_factor", type=int, default=-1)
     p.add_argument("--aggregation", type=str, default="sum")
     p.add_argument("--two_opt_iterations", type=int, default=1000)
+    p.add_argument("--two_opt_reference_parity", action="store_true")
     p.add_argument("--save_numpy_heatmap", action="store_true")
 
     p.add_argument("--project_name", type=str, default="tsp_diffusion")
@@ -94,6 +95,15 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_data_devices", type=int, default=0, help="0 = all")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--profile_dir", type=str, default=None)
+    # multi-host: the analog of PL's automatic DDP process launch
+    # (reference train.py:113); run one process per host with the same
+    # command + per-process --process_id
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before building "
+                        "the mesh (TPU pods auto-detect the coordinator)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -196,6 +206,7 @@ def run(cfg: Config) -> dict:
     total_steps = steps_per_epoch * cfg.num_epochs
 
     params = None
+    resume_keeper = None
     if cfg.ckpt_path:
         if os.path.isdir(os.path.join(cfg.ckpt_path, "default")):
             # raw orbax step dir (e.g. a committed checkpoints/<name>/);
@@ -207,24 +218,31 @@ def run(cfg: Config) -> dict:
                 state = ckptr.restore(
                     os.path.join(os.path.abspath(cfg.ckpt_path), "default")
                 )
-            params = state["params"]
-        else:
+            params = state.get("params", state) if isinstance(state, dict) else state
+            print(f"loaded weights-only checkpoint from {cfg.ckpt_path}")
+        elif cfg.resume_weight_only or not cfg.do_train:
             keeper_in = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)
-            if cfg.resume_weight_only:
-                params = keeper_in.restore_weights_only()
-            else:
-                _, state = keeper_in.restore_last()
-                params = state["params"] if state else None
+            params = keeper_in.restore_weights_only()
             keeper_in.close()
+            print(f"loaded weights-only (best) checkpoint from {cfg.ckpt_path}")
+        else:
+            # full-state resume: params + opt_state + step continue inside
+            # trainer.fit (reference train.py:130 ckpt_path semantics)
+            resume_keeper = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)
+            print(f"resuming full training state from {cfg.ckpt_path}")
 
     final_metrics: dict = {}
     if cfg.do_train:
         trainer = Trainer(task, cfg, mesh=mesh)
 
-        def eval_hook(p, step):
+        def eval_hook(p, step, opt_state=None):
             m = evaluate_split(task, val_ds, p, cfg, "val", cfg.validation_examples)
             logger.log(m, step)
-            keeper.save(step, jax.device_get(p), metrics=m)
+            keeper.save(
+                step, jax.device_get(p),
+                opt_state=jax.device_get(opt_state) if opt_state is not None else None,
+                metrics=m,
+            )
             final_metrics.update(m)
 
         params, history = trainer.fit(
@@ -236,7 +254,10 @@ def run(cfg: Config) -> dict:
             eval_fn=eval_hook,
             eval_every=steps_per_epoch,
             log_path=os.path.join(run_dir, "train.jsonl"),
+            resume_keeper=resume_keeper,
         )
+        if resume_keeper is not None:
+            resume_keeper.close()
         for h in history[-1:]:
             logger.log({"train/loss": h["train/loss"]}, h["step"])
 
@@ -258,6 +279,14 @@ def run(cfg: Config) -> dict:
 
 def main(argv=None):
     args = arg_parser().parse_args(argv)
+    if args.multihost:
+        from difusco_tpu.parallel.mesh import init_multihost
+
+        pid = init_multihost(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        print(f"multihost initialized: process {pid}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
     cfg = config_from_args(args)
     metrics = run(cfg)
     print({k: round(v, 6) for k, v in metrics.items()})

@@ -51,6 +51,9 @@ class Config:
 
     # ---- decoding (reference train.py:53-54) ----
     two_opt_iterations: int = 1000
+    # reproduce the reference's 2-opt apply rule exactly (ops/two_opt.py
+    # parity docstring) for A/B decode comparisons with converted weights
+    two_opt_reference_parity: bool = False
     save_numpy_heatmap: bool = False
     merge_backend: str = "device"  # device | native | numpy
 

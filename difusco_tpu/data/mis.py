@@ -24,23 +24,34 @@ import numpy as np
 
 def graph_to_fixed_degree(edges: np.ndarray, num_nodes: int, max_degree: int):
     """COO edges (2, E) (already bidirectional, with self-loops) -> padded
-    (neighbors (V, K), mask (V, K))."""
+    (neighbors (V, K), mask (V, K)). Vectorized: sort by source, rank each
+    edge within its source group, one scatter."""
+    src, dst = edges[0], edges[1]
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    # rank within the source group: position minus the group's start offset
+    starts = np.searchsorted(src_s, np.arange(num_nodes))
+    rank = np.arange(src_s.shape[0]) - starts[src_s]
     nbrs = np.zeros((num_nodes, max_degree), np.int32)
     mask = np.zeros((num_nodes, max_degree), np.float32)
-    fill = np.zeros(num_nodes, np.int32)
-    for a, b in edges.T:
-        nbrs[a, fill[a]] = b
-        mask[a, fill[a]] = 1.0
-        fill[a] += 1
+    nbrs[src_s, rank] = dst_s
+    mask[src_s, rank] = 1.0
     return nbrs, mask
 
 
 def load_gpickle(path: str):
     """Load one pickled networkx graph -> (num_nodes, labels or None,
     edges (2, E) bidirectional with self-loops) — mirrors
-    mis_dataset.py:23-50."""
-    with open(path, "rb") as f:
-        graph = pickle.load(f)
+    mis_dataset.py:23-50. ``.gpickle.gz`` files are transparently
+    decompressed."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            graph = pickle.load(f)
+    else:
+        with open(path, "rb") as f:
+            graph = pickle.load(f)
     num_nodes = graph.number_of_nodes()
     labels = [lab for _, lab in graph.nodes(data="label")]
     node_labels = (
@@ -72,11 +83,16 @@ class MISDataset:
         self.files = sorted(glob.glob(self.data_glob))
         if not self.files:
             raise ValueError(f"no graphs match {self.data_glob!r}")
-        # one pass to size the static shapes
+        # one pass to size the static shapes; raw graphs are cached so
+        # epochs never re-read or re-unpickle files (host input pipeline
+        # feeding the device stays cheap)
         self.max_nodes = 0
         self.max_degree = 0
+        self._raw = []
+        self._cache: dict = {}
         for f in self.files:
-            n, _, edges = load_gpickle(f)
+            n, labels, edges = load_gpickle(f)
+            self._raw.append((n, labels, edges))
             deg = np.bincount(edges[0], minlength=n)
             self.max_nodes = max(self.max_nodes, n)
             self.max_degree = max(self.max_degree, int(deg.max()) if n else 0)
@@ -88,10 +104,15 @@ class MISDataset:
         """One example, padded to (max_nodes, max_degree):
         dict(labels (V,), neighbors (V,K), mask (V,K), node_mask (V,),
              num_nodes scalar)."""
+        if idx in self._cache:
+            return self._cache[idx]
         path = self.files[idx]
-        n, labels, edges = load_gpickle(path)
+        n, labels, edges = self._raw[idx]
         if self.label_dir is not None:
-            base = os.path.basename(path).replace(".gpickle", "_unweighted.result")
+            base = os.path.basename(path)
+            if base.endswith(".gz"):
+                base = base[: -len(".gz")]
+            base = base.replace(".gpickle", "_unweighted.result")
             with open(os.path.join(self.label_dir, base)) as f:
                 labels = np.array([int(x) for x in f.read().splitlines()], np.int64)
             assert labels.shape[0] == n
@@ -107,13 +128,15 @@ class MISDataset:
         out_mask[:n] = mask
         node_mask = np.zeros(V, np.float32)
         node_mask[:n] = 1.0
-        return {
+        ex = {
             "labels": out_labels,
             "neighbors": out_nbrs,
             "mask": out_mask,
             "node_mask": node_mask,
             "num_nodes": np.int32(n),
         }
+        self._cache[idx] = ex
+        return ex
 
     def batches(
         self,

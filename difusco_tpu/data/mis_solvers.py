@@ -44,28 +44,55 @@ def solve_greedy(graph, seed=0, restarts=16):
     return greedy_mis_label(graph, np.random.default_rng(seed), restarts=restarts)
 
 
+def write_metis(graph, path):
+    """Write the METIS adjacency format KaMIS consumes
+    (reference solvers/kamis.py:40-60 writes the same header + 1-indexed
+    neighbor lines)."""
+    n = graph.number_of_nodes()
+    with open(path, "w") as f:
+        f.write(f"{n} {graph.number_of_edges()}\n")
+        adj = {i: sorted(graph.neighbors(i)) for i in graph.nodes}
+        for i in range(n):
+            f.write(" ".join(str(j + 1) for j in adj.get(i, [])) + "\n")
+
+
+def _run_redumis_protocol(binary, graph, time_limit, seed=None):
+    """Run a redumis-CLI-compatible binary: METIS graph in, ``--output=`` /
+    ``--time_limit=`` flags, 0/1-per-line result file out."""
+    with tempfile.TemporaryDirectory() as td:
+        gpath = os.path.join(td, "g.graph")
+        rpath = os.path.join(td, "g.result")
+        write_metis(graph, gpath)
+        cmd = [binary, gpath, f"--output={rpath}", f"--time_limit={time_limit}"]
+        if seed is not None:
+            cmd.append(f"--seed={seed}")
+        subprocess.run(cmd, check=True, capture_output=True)
+        with open(rpath) as f:
+            return np.array([int(x) for x in f.read().split()], np.int64)
+
+
 def solve_kamis(graph, time_limit=60.0):
     """Drive the KaMIS ``redumis`` binary (reference solvers/kamis.py:81-134):
     write the METIS graph format, run, read the 0/1 result file."""
     binary = shutil.which("redumis")
     if binary is None:
         raise RuntimeError("KaMIS 'redumis' not found on PATH")
-    n = graph.number_of_nodes()
-    with tempfile.TemporaryDirectory() as td:
-        gpath = os.path.join(td, "g.graph")
-        rpath = os.path.join(td, "g.result")
-        with open(gpath, "w") as f:
-            f.write(f"{n} {graph.number_of_edges()}\n")
-            adj = {i: sorted(graph.neighbors(i)) for i in graph.nodes}
-            for i in range(n):
-                f.write(" ".join(str(j + 1) for j in adj.get(i, [])) + "\n")
-        subprocess.run(
-            [binary, gpath, f"--output={rpath}", f"--time_limit={time_limit}"],
-            check=True,
-            capture_output=True,
-        )
-        with open(rpath) as f:
-            return np.array([int(x) for x in f.read().split()], np.int64)
+    return _run_redumis_protocol(binary, graph, time_limit)
+
+
+def solve_ils(graph, time_limit=10.0, seed=1):
+    """Native C++ iterated-local-search solver (native/mis/mis_ils.cpp) —
+    the framework's strong built-in labeler; speaks the redumis CLI
+    protocol. Falls back to a PATH lookup when the repo build is absent."""
+    binary = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native", "build", "mis_ils",
+    )
+    if not os.path.exists(binary):
+        binary = shutil.which("mis_ils")
+    if binary is None or not os.path.exists(binary):
+        raise RuntimeError("mis_ils binary not built (run `make -C native`)")
+    return _run_redumis_protocol(binary, graph, time_limit, seed=seed)
 
 
 def solve_gurobi(graph, time_limit=60.0):
@@ -88,7 +115,12 @@ def solve_gurobi(graph, time_limit=60.0):
     return np.array([int(round(x[i].X)) for i in range(n)], np.int64)
 
 
-SOLVERS = {"greedy": solve_greedy, "kamis": solve_kamis, "gurobi": solve_gurobi}
+SOLVERS = {
+    "greedy": solve_greedy,
+    "ils": solve_ils,
+    "kamis": solve_kamis,
+    "gurobi": solve_gurobi,
+}
 
 
 def _solve_one(args):
@@ -108,7 +140,7 @@ def solve_cmd(args):
         raise SystemExit(f"no graphs match {args.input!r}")
     os.makedirs(args.output, exist_ok=True)
     kwargs = {}
-    if args.solver in ("kamis", "gurobi"):
+    if args.solver in ("ils", "kamis", "gurobi"):
         kwargs["time_limit"] = args.time_limit
     work = [(f, args.output, args.solver, kwargs) for f in files]
     if args.workers > 1 and args.solver != "gurobi":

@@ -1,0 +1,135 @@
+"""Held–Karp 1-tree lower bound for Euclidean TSP instances.
+
+Purpose: independently certify benchmark gaps. The committed TSP test splits
+carry best-known labels produced by this framework's own decode/MCTS stack
+(there is no external Concorde/LKH in this environment — the reference
+labels its data with those, data/generate_tsp_data.py:46-67). A Held–Karp
+lower bound is solver-free mathematics: for ANY node potentials pi, the
+minimum 1-tree weight under reduced costs d(i,j) + pi_i + pi_j, minus
+2*sum(pi), lower-bounds every Hamiltonian cycle. Maximizing over pi by
+subgradient ascent (Held & Karp 1971) typically reaches 99-99.9% of the
+optimum, so
+
+    gap_vs_HK_LB = (tour_cost - LB) / LB
+
+is a certified upper bound on the true optimality gap — no circularity.
+
+Pure numpy; O(V^2) memory, O(V^2) per ascent iteration (vectorized Prim).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _min_one_tree(D: np.ndarray) -> Tuple[float, np.ndarray]:
+    """Minimum 1-tree of a complete graph with weight matrix D.
+
+    Node 0 is the special '1' node: MST over nodes 1..V-1 plus node 0's two
+    cheapest incident edges. Returns (weight, degree vector).
+    """
+    V = D.shape[0]
+    deg = np.zeros(V, np.int64)
+    # Prim over nodes 1..V-1, started at node 1
+    INF = np.float64("inf")
+    in_tree = np.zeros(V, bool)
+    in_tree[0] = True  # excluded from the MST part
+    in_tree[1] = True
+    mind = D[1].astype(np.float64).copy()
+    mind[0] = INF
+    parent = np.ones(V, np.int64)
+    weight = 0.0
+    for _ in range(V - 2):
+        mind_masked = np.where(in_tree, INF, mind)
+        u = int(np.argmin(mind_masked))
+        weight += mind_masked[u]
+        deg[u] += 1
+        deg[parent[u]] += 1
+        in_tree[u] = True
+        better = D[u] < mind
+        np.copyto(mind, D[u], where=better)
+        np.copyto(parent, u, where=better)
+    # node 0: two cheapest edges
+    d0 = D[0].astype(np.float64).copy()
+    d0[0] = INF
+    a = int(np.argmin(d0))
+    w0a = d0[a]
+    d0[a] = INF
+    b = int(np.argmin(d0))
+    weight += w0a + d0[b]
+    deg[0] += 2
+    deg[a] += 1
+    deg[b] += 1
+    return float(weight), deg
+
+
+def held_karp_lower_bound(
+    points: np.ndarray,
+    upper_bound: Optional[float] = None,
+    iterations: int = 1000,
+    lam0: float = 2.0,
+    patience: int = 20,
+    seed: int = 0,
+) -> float:
+    """Maximize the 1-tree bound by subgradient ascent over node potentials.
+
+    Args:
+      points: (V, 2) float coordinates.
+      upper_bound: a known tour cost (step sizing only — correctness of the
+        bound does NOT depend on it; any pi yields a valid bound). When
+        None, a nearest-neighbor tour cost is used.
+      iterations: ascent iterations.
+      lam0: initial step-size multiplier (halved after ``patience``
+        non-improving iterations, Held-Karp II schedule).
+
+    Returns:
+      The best (largest) certified lower bound found.
+    """
+    pts = np.asarray(points, np.float64)
+    V = pts.shape[0]
+    if V < 3:
+        return 0.0
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+
+    if upper_bound is None:
+        # nearest-neighbor tour for step sizing
+        visited = np.zeros(V, bool)
+        cur, cost = 0, 0.0
+        visited[0] = True
+        for _ in range(V - 1):
+            d = np.where(visited, np.inf, D[cur])
+            nxt = int(np.argmin(d))
+            cost += d[nxt]
+            visited[nxt] = True
+            cur = nxt
+        upper_bound = cost + D[cur, 0]
+
+    pi = np.zeros(V, np.float64)
+    best = -np.inf
+    lam = lam0
+    stall = 0
+    for _ in range(iterations):
+        Dr = D + pi[:, None] + pi[None, :]
+        w, deg = _min_one_tree(Dr)
+        lb = w - 2.0 * pi.sum()
+        if lb > best + 1e-12:
+            best = lb
+            stall = 0
+        else:
+            stall += 1
+            if stall >= patience:
+                lam *= 0.5
+                stall = 0
+                if lam < 1e-6:
+                    break
+        g = deg - 2
+        gnorm = float((g * g).sum())
+        if gnorm == 0:
+            # the 1-tree is a tour: bound is tight, stop
+            best = max(best, lb)
+            break
+        t = lam * max(upper_bound - lb, 1e-12) / gnorm
+        pi = pi + t * g
+    return float(best)

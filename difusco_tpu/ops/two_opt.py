@@ -38,9 +38,10 @@ def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(d * d, axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "parity"))
 def batched_two_opt(
-    points: jnp.ndarray, tours: jnp.ndarray, max_iterations: int = 1000
+    points: jnp.ndarray, tours: jnp.ndarray, max_iterations: int = 1000,
+    parity: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine closed tours with first-order 2-opt moves.
 
@@ -49,6 +50,14 @@ def batched_two_opt(
         per-instance coordinates.
       tours: (B, V+1) int32, closed (tours[:, 0] == tours[:, -1]).
       max_iterations: iteration cap (reference default 1000).
+      parity: reproduce the reference's per-sample apply rule exactly for
+        A/B decoding comparisons. The reference (tsp_utils.py:39-42) applies
+        each sample's argmin over ``triu(change, 2)`` whenever the GLOBAL
+        min is < -1e-6; since the triu mask contributes zero entries, a
+        sample with no negative move argmins to index 0 -> the empty slice
+        tour[1:1] -> a no-op. Net behavioral difference vs the default mode:
+        in parity mode a sample applies moves in the (-1e-6, 0) band, the
+        default masks them (strictly-better semantics, documented deviation).
 
     Returns:
       (tours, iterations): refined closed tours and the number of improvement
@@ -86,7 +95,13 @@ def batched_two_opt(
         mi = (arg // V).astype(jnp.int32)  # (B,)
         mj = (arg % V).astype(jnp.int32)
 
-        improving = best < -1e-6  # (B,)
+        if parity:
+            # reference gate (tsp_utils.py:39): flips apply only while the
+            # GLOBAL best move clears -1e-6; it breaks before applying on
+            # the terminal iteration
+            improving = (best < 0.0) & (jnp.min(best) < -1e-6)  # (B,)
+        else:
+            improving = best < -1e-6  # (B,)
         # reversal permutation: positions in [mi+1, mj] map to mi+1+mj-p
         lo = (mi + 1)[:, None]
         hi = mj[:, None]

@@ -22,6 +22,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (the analog of PL's automatic DDP process
+    launch, reference train.py:113). Call once per process BEFORE any other
+    JAX API; afterwards ``jax.devices()`` spans every host and the same
+    mesh/pjit code runs unchanged, with XLA routing collectives over
+    ICI within a slice and DCN across slices.
+
+    On TPU pods all three args are auto-detected from the environment;
+    on CPU/GPU fleets pass them explicitly. Returns this process's index.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(
     shape: Optional[Tuple[int, ...]] = None,
     axis_names: Sequence[str] = ("data",),

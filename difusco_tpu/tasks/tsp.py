@@ -267,7 +267,8 @@ class TSPTask:
                 sym = sym + sym.transpose(0, 2, 1)
                 tours, merge_iters = self._host_merge(points, sym, backend)
         tours, two_opt_iters = batched_two_opt(
-            points, jnp.asarray(tours), self.cfg.two_opt_iterations
+            points, jnp.asarray(tours), self.cfg.two_opt_iterations,
+            parity=self.cfg.two_opt_reference_parity,
         )
         costs = tour_cost(points, tours)
         return tours, costs, {
@@ -307,14 +308,24 @@ class TSPTask:
 
     def evaluate_instance(
         self, params, points, gt_tour, key, neighbors=None,
-        save_heatmap_dir=None, instance_idx=0, split="test",
+        save_heatmap_dir=None, instance_idx=0, split="test", mesh=None,
     ) -> Dict[str, float]:
         """best-of-(parallel x sequential) for one instance
         (pl_tsp_model.py:175-246). With ``save_heatmap_dir`` the raw heatmap
         and points are dumped as .npy for the offline MCTS pipeline
         (reference run_save_numpy_heatmap, pl_tsp_model.py:258-267; requires
-        single sampling like the reference)."""
+        single sampling like the reference).
+
+        With ``mesh`` the parallel_sampling axis is sharded over it and the
+        whole sample->decode->best-of pipeline runs as one sharded jit
+        (cross-chip argmin-of-cost + winning-tour gather); requires the
+        device merge backend."""
         cfg = self.cfg
+        if (mesh is not None and cfg.merge_backend == "device"
+                and save_heatmap_dir is None):
+            return self._evaluate_instance_sharded(
+                params, points, gt_tour, key, mesh, neighbors
+            )
         all_costs = []
         metrics = {}
         for s in range(cfg.sequential_sampling):
@@ -362,3 +373,40 @@ class TSPTask:
             "gap": (best - gt_cost) / gt_cost,
             **metrics,
         }
+
+    def _evaluate_instance_sharded(
+        self, params, points, gt_tour, key, mesh, neighbors=None
+    ) -> Dict[str, float]:
+        """Sharded-mesh evaluation path: particles sharded over the mesh,
+        decode per shard, cross-chip best-of returning the winning tour."""
+        from difusco_tpu.parallel.sampling import make_sharded_evaluator
+
+        cfg = self.cfg
+        cache_key = (id(mesh), cfg.parallel_sampling)
+        if not hasattr(self, "_sharded_eval"):
+            self._sharded_eval = {}
+        if cache_key not in self._sharded_eval:
+            self._sharded_eval[cache_key] = make_sharded_evaluator(
+                self, mesh, cfg.parallel_sampling
+            )
+        eval_fn = self._sharded_eval[cache_key]
+        best_cost = None
+        best_tour = None
+        metrics = {}
+        for s in range(cfg.sequential_sampling):
+            tour, cost, _, work = eval_fn(
+                params, points, jax.random.fold_in(key, s), neighbors=neighbors
+            )
+            if best_cost is None or float(cost) < best_cost:
+                best_cost = float(cost)
+                best_tour = tour
+            metrics = {k: float(v) for k, v in work.items()}
+        gt_cost = float(tour_cost(points, gt_tour))
+        out = {
+            "solved_cost": best_cost,
+            "gt_cost": gt_cost,
+            "gap": (best_cost - gt_cost) / gt_cost,
+            **metrics,
+        }
+        self.last_best_tour = best_tour  # winning tour (V+1,), replicated
+        return out

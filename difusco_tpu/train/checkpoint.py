@@ -49,7 +49,7 @@ class CheckpointKeeper:
         opt_state: Any = None,
         metrics: Optional[Dict[str, float]] = None,
     ) -> None:
-        state = {"params": params}
+        state = {"params": params, "step": step}
         if opt_state is not None:
             state["opt_state"] = opt_state
         args = ocp.args.StandardSave(state)
@@ -78,9 +78,21 @@ class CheckpointKeeper:
         args = ocp.args.StandardRestore(template) if template is not None else None
         return step, self._best.restore(step, args=args)
 
-    def restore_weights_only(self, path_or_none: Optional[str] = None, template=None):
+    def restore_weights_only(self, path: Optional[str] = None, template=None):
         """Weights-only restore (fresh optimizer), reference
-        --resume_weight_only semantics."""
+        --resume_weight_only semantics (train.py:126-128).
+
+        Args:
+          path: optional explicit orbax step directory (containing
+            ``default/``); when given it is restored directly instead of
+            this keeper's best/last checkpoint.
+        """
+        if path is not None:
+            with ocp.StandardCheckpointer() as ckptr:
+                state = ckptr.restore(
+                    os.path.join(os.path.abspath(path), "default")
+                )
+            return state.get("params", state) if isinstance(state, dict) else state
         step, state = self.restore_best(template)
         if state is None:
             return None

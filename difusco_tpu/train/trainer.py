@@ -80,18 +80,48 @@ class Trainer:
         eval_fn: Optional[Callable] = None,
         eval_every: Optional[int] = None,
         log_path: Optional[str] = None,
+        resume_keeper=None,
     ):
-        """Run ``total_steps`` updates; returns (params, history)."""
+        """Run ``total_steps`` updates; returns (params, history).
+
+        Full-state resume (reference trainer.fit(ckpt_path=...),
+        train.py:130): pass ``resume_keeper`` (a CheckpointKeeper whose
+        ``last`` checkpoint holds params + opt_state + step) and training
+        continues from the saved step with the optimizer state — and hence
+        the LR-schedule position, which lives in opt_state's count — intact.
+        After fit, ``self.opt_state`` and ``self.step`` expose the final
+        state for checkpointing.
+        """
         cfg = self.cfg
-        key = jax.random.PRNGKey(seed)
+        # per-step keys are fold_in(step_key, step): deterministic in the
+        # step index, so a resumed run replays the exact key stream of the
+        # uninterrupted one
+        base_key = jax.random.PRNGKey(seed)
+        init_key = jax.random.fold_in(base_key, 0)
+        step_key = jax.random.fold_in(base_key, 1)
         optimizer = make_optimizer(cfg, total_steps)
         it = iter(train_batches)
         first = next(it)
 
         if params is None:
-            key, kinit = jax.random.split(key)
-            params = self.task.init_params(kinit, first)
+            params = self.task.init_params(init_key, first)
         opt_state = optimizer.init(params)
+        start_step = 0
+        if resume_keeper is not None:
+            template = {"params": params, "opt_state": opt_state, "step": 0}
+            try:
+                _, state = resume_keeper.restore_last(template=template)
+            except Exception as e:
+                # older checkpoint layout (params only): weights-only resume
+                print(f"full-state restore failed ({type(e).__name__}: {e}); "
+                      "falling back to weights-only resume")
+                _, state = resume_keeper.restore_last()
+                state = {"params": state["params"], "opt_state": None, "step": 0} if state else None
+            if state:
+                params = state["params"]
+                if state.get("opt_state") is not None:
+                    opt_state = state["opt_state"]
+                start_step = int(state.get("step", 0) or 0)
         step_fn = self._build_step(optimizer)
 
         if self.mesh is not None:
@@ -103,14 +133,22 @@ class Trainer:
         logf = open(log_path, "a") if log_path else None
         t0 = time.time()
         batch = first
+        # resume: advance the data iterator past already-consumed batches so
+        # the resumed run sees the same data order as the uninterrupted one
+        for _ in range(start_step):
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
         profile_dir = getattr(cfg, "profile_dir", None)
-        for step in range(total_steps):
+        _eval_takes_opt_state = None
+        for step in range(start_step, total_steps):
             # profile a steady-state window (steps 10-15) when requested
             if profile_dir and step == 10:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and step == 15:
                 jax.profiler.stop_trace()
-            key, kstep = jax.random.split(key)
+            kstep = jax.random.fold_in(step_key, step)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "tour"}
             if self.mesh is not None:
                 data = NamedSharding(self.mesh, P("data"))
@@ -130,11 +168,22 @@ class Trainer:
                     logf.write(json.dumps(rec) + "\n")
                     logf.flush()
             if eval_fn is not None and eval_every and (step + 1) % eval_every == 0:
-                eval_fn(params, step + 1)
+                if _eval_takes_opt_state is None:
+                    import inspect
+
+                    _eval_takes_opt_state = (
+                        len(inspect.signature(eval_fn).parameters) >= 3
+                    )
+                if _eval_takes_opt_state:
+                    eval_fn(params, step + 1, opt_state)
+                else:
+                    eval_fn(params, step + 1)
             try:
                 batch = next(it)
             except StopIteration:
                 break
         if logf:
             logf.close()
+        self.opt_state = opt_state
+        self.step = total_steps
         return params, history

@@ -83,6 +83,50 @@ class TestTwoOpt:
         _, iters = ops.batched_two_opt(jnp.asarray(pts), jnp.asarray(tour), 3)
         assert int(iters) <= 3
 
+    @staticmethod
+    def _reference_two_opt_oracle(points, tours, max_iterations=1000):
+        """Independent numpy re-implementation of the reference apply rule
+        (tsp_utils.py:12-49): while the GLOBAL min move is < -1e-6, every
+        sample applies its own argmin over triu(change, 2) — which no-ops
+        for samples without a negative move (argmin hits a zero entry at
+        flat index 0 -> the empty slice tour[1:1])."""
+        tours = tours.copy()
+        B, Vp1 = tours.shape
+        V = Vp1 - 1
+        it = 0
+        while it < max_iterations:
+            head = points[tours[:, :-1]]
+            nxt = points[tours[:, 1:]]
+            d = lambda a, b: np.sqrt(((a[:, :, None] - b[:, None]) ** 2).sum(-1))
+            dii1 = np.linalg.norm(head - nxt, axis=-1)
+            change = d(head, head) + d(nxt, nxt) - dii1[:, :, None] - dii1[:, None, :]
+            change = np.triu(change, k=2)
+            flat = change.reshape(B, -1)
+            if flat.min() >= -1e-6:
+                break
+            arg = flat.argmin(-1)
+            mi, mj = arg // V, arg % V
+            for b in range(B):
+                tours[b, mi[b] + 1 : mj[b] + 1] = tours[b, mi[b] + 1 : mj[b] + 1][::-1]
+            it += 1
+        return tours, it
+
+    def test_parity_mode_matches_reference_rule(self):
+        rng = np.random.default_rng(3)
+        V = 25
+        pts = _rand_instance(rng, V).astype(np.float32)
+        tours = []
+        for _ in range(6):
+            perm = rng.permutation(V)
+            tours.append(np.concatenate([perm, perm[:1]]))
+        tours = np.stack(tours).astype(np.int32)
+        ref_t, ref_it = self._reference_two_opt_oracle(pts, tours)
+        out, iters = ops.batched_two_opt(
+            jnp.asarray(pts), jnp.asarray(tours), parity=True
+        )
+        np.testing.assert_array_equal(np.asarray(out), ref_t)
+        assert int(iters) == ref_it
+
 
 class _RefMergeOracle:
     """Independent reimplementation of the reference's component-list merge

@@ -114,6 +114,59 @@ class TestShardedSampling:
         best = float(jnp.min(costs))
         assert np.isfinite(best) and best > 0
 
+    def test_sharded_evaluator_returns_single_device_best_tour(self):
+        """The one-jit sharded sample->decode->best-of pipeline must return
+        exactly the tour the single-device path would pick."""
+        from difusco_tpu.parallel.sampling import make_sharded_evaluator
+
+        rng = np.random.default_rng(5)
+        cfg = _cfg()
+        task = TSPTask(cfg)
+        batch = _toy_batch(rng, 2, 10)
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        pts = jnp.asarray(batch["points"][0])
+        key = jax.random.PRNGKey(7)
+
+        mesh = make_mesh((8,), ("sample",))
+        evaluator = make_sharded_evaluator(task, mesh, 8)
+        tour, cost, costs, work = evaluator(params, pts, key)
+
+        heat_ref = task.sample(params, pts, key, 8)
+        tours_ref, costs_ref, _ = task.decode(pts, heat_ref)
+        i = int(jnp.argmin(costs_ref))
+        np.testing.assert_allclose(
+            np.asarray(costs), np.asarray(costs_ref), atol=1e-5
+        )
+        assert abs(float(cost) - float(costs_ref[i])) < 1e-5
+        np.testing.assert_array_equal(np.asarray(tour), np.asarray(tours_ref[i]))
+
+    def test_evaluate_instance_with_mesh_matches_unsharded(self):
+        rng = np.random.default_rng(6)
+        cfg = _cfg(parallel_sampling=8)
+        task = TSPTask(cfg)
+        batch = _toy_batch(rng, 2, 10)
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        pts = jnp.asarray(batch["points"][0])
+        tour = jnp.asarray(
+            np.concatenate([np.arange(10), [0]]).astype(np.int32)
+        )
+        key = jax.random.PRNGKey(8)
+        m_ref = task.evaluate_instance(params, pts, tour, key)
+        mesh = make_mesh((8,), ("sample",))
+        m_sh = task.evaluate_instance(params, pts, tour, key, mesh=mesh)
+        assert abs(m_ref["solved_cost"] - m_sh["solved_cost"]) < 1e-5
+        assert task.last_best_tour.shape == (11,)
+
+    def test_best_of_sharded_returns_tour(self):
+        from difusco_tpu.parallel.sampling import best_of_sharded
+
+        costs = jnp.asarray([3.0, 1.0, 2.0])
+        tours = jnp.asarray([[0, 1, 2, 0], [2, 1, 0, 2], [1, 0, 2, 1]])
+        t, c = best_of_sharded(costs, tours)
+        assert float(c) == 1.0
+        np.testing.assert_array_equal(np.asarray(t), [2, 1, 0, 2])
+        assert float(best_of_sharded(costs)) == 1.0
+
 
 class TestGraftEntry:
     def test_dryrun_multichip(self):
