@@ -43,7 +43,6 @@ def torch_state_dict_to_params(
 
     params = {
         "node_embed": linear("node_embed"),
-        "edge_embed": linear("edge_embed"),
         "time_embed_1": linear("time_embed.0"),
         "time_embed_2": linear("time_embed.2"),
         "out_head": {
@@ -55,6 +54,11 @@ def torch_state_dict_to_params(
             },
         },
     }
+    # node_feature_only flax models have no edge embedding; the reference
+    # creates (and never uses) edge_embed in that mode (gnn_encoder.py:304,
+    # 404-414), so the key is present in its checkpoints either way.
+    if "edge_embed.weight" in sd:
+        params["edge_embed"] = linear("edge_embed")
     for i in range(n_layers):
         params[f"layer_{i}"] = {
             "conv": {
@@ -85,7 +89,15 @@ def params_to_torch_state_dict(params: dict, n_layers: int) -> Dict[str, np.ndar
         sd[f"{prefix}.bias"] = np.asarray(node["bias"])
 
     put_linear("model.node_embed", p["node_embed"])
-    put_linear("model.edge_embed", p["edge_embed"])
+    if "edge_embed" in p:
+        put_linear("model.edge_embed", p["edge_embed"])
+    else:
+        # node_feature_only: the reference still instantiates edge_embed
+        # (gnn_encoder.py:304) but never calls it — emit zeros so
+        # load_state_dict(strict=True) accepts the export.
+        h = np.asarray(p["node_embed"]["kernel"]).shape[1]
+        sd["model.edge_embed.weight"] = np.zeros((h, h), np.float32)
+        sd["model.edge_embed.bias"] = np.zeros((h,), np.float32)
     put_linear("model.time_embed.0", p["time_embed_1"])
     put_linear("model.time_embed.2", p["time_embed_2"])
     put_norm("model.out.0", p["out_head"]["GroupNorm_0"])
