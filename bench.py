@@ -19,6 +19,37 @@ import time
 import numpy as np
 
 
+def dense_gnn_flops_per_forward(V, H, n_layers, out_channels=2):
+    """Analytic FLOPs of one dense GatedGCN forward (one denoise step of one
+    sample). Counts matmul FLOPs (2*m*n*k): per layer 4 node linears (V,H)x
+    (H,H), the edge linear C and the per-layer out projection (V^2,H)x(H,H);
+    plus embeddings and the output head. Elementwise work is excluded
+    (matmul-dominated model), so reported MFU is slightly conservative^*.
+
+    ^* conservative for the utilization claim: true executed FLOPs >= model.
+    """
+    per_layer = 2 * H * H * (4 * V + 2 * V * V)
+    embed = 2 * H * H * (V + V * V)  # node_embed + edge_embed
+    head = 2 * V * V * H * out_channels
+    time_mlp = 2 * (H * (H // 2) + (H // 2) * (H // 2))
+    return n_layers * per_layer + embed + head + time_mlp
+
+
+def tpu_peak_bf16_flops():
+    """Peak bf16 FLOP/s of the attached chip (for MFU). v5e (v5 lite):
+    197 TFLOP/s bf16; v4: 275; v5p: 459. Unknown kinds return None."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    return None
+
+
 def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     import jax
     import jax.numpy as jnp
@@ -60,17 +91,52 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     dt = (time.perf_counter() - t0) / n_iters
     samples_per_sec = S / dt
     denoise_steps_per_sec = S * steps / dt
-    return samples_per_sec, denoise_steps_per_sec, dt
+    flops_per_fwd = dense_gnn_flops_per_forward(V, 256, 12)
+    peak = tpu_peak_bf16_flops()
+    mfu = (denoise_steps_per_sec * flops_per_fwd / peak) if peak else None
+    return samples_per_sec, denoise_steps_per_sec, dt, mfu
 
 
-def bench_gap(n_instances=32, ckpt="tsp50_categorical_v3",
+def _hk_bounds_for(test_file):
+    """Load the committed Held-Karp lower bounds for a split, if present
+    (data/hk_lb/<stem>_hk.json, produced by scripts/compute_hk_bounds.py)."""
+    import os
+
+    stem = os.path.splitext(os.path.basename(test_file))[0]
+    path = os.path.join(os.path.dirname(__file__), "data", "hk_lb",
+                        f"{stem}_hk.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)["lb"]
+
+
+def _gap_summary(costs, gt_costs, hk_lbs):
+    """Mean gap vs labels and (when bounds exist) vs the certified HK lower
+    bound — the latter is an upper bound on the true optimality gap that
+    label refinement cannot bias (VERDICT r1 item 1)."""
+    costs = np.asarray(costs, np.float64)
+    gt = np.asarray(gt_costs, np.float64)
+    out = {"gap": float(np.mean((costs - gt) / gt)), "n": int(len(costs))}
+    if hk_lbs is not None:
+        lb = np.asarray([hk_lbs[i] for i in range(len(costs))], np.float64)
+        ok = np.isfinite(lb) & (lb > 0)
+        if ok.any():
+            out["gap_vs_hk_lb"] = float(np.mean((costs[ok] - lb[ok]) / lb[ok]))
+            out["hk_label_slack"] = float(np.mean((gt[ok] - lb[ok]) / lb[ok]))
+    return out
+
+
+def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
               diffusion_type="categorical", test_rel="data/tsp50/tsp50_test.txt"):
     """Solved-gap benchmark on a committed dense-TSP checkpoint + test split.
 
-    Gap is measured against the split's label tours. The TSP-50/100 splits
-    carry best-known labels (keep-if-better refined via model decode +
-    native MCTS, scripts/refine_tsp_labels.py), so the gap approximates the
-    paper's gap-to-optimal. Returns None if the artifacts are missing."""
+    Gap is measured against the split's label tours (best-known, refined
+    keep-if-better by this framework's own decode stack — see README caveat)
+    AND against the certified Held-Karp lower bound when committed. The
+    default n matches the documented README evaluation (64 for TSP-50;
+    pass the full split length for TSP-100). Returns None if the artifacts
+    are missing."""
     import os
 
     ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt)
@@ -101,7 +167,7 @@ def bench_gap(n_instances=32, ckpt="tsp50_categorical_v3",
         state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
     params = state["params"]
     ds = TSPDataset(test_file)
-    gaps = []
+    costs, gts = [], []
     key = jax.random.PRNGKey(0)
     for i in range(min(n_instances, len(ds))):
         ex = ds.get(i)
@@ -109,8 +175,9 @@ def bench_gap(n_instances=32, ckpt="tsp50_categorical_v3",
             params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
             jax.random.fold_in(key, i),
         )
-        gaps.append(m["gap"])
-    return float(np.mean(gaps))
+        costs.append(float(m["solved_cost"]))
+        gts.append(float(m["gt_cost"]))
+    return _gap_summary(costs, gts, _hk_bounds_for(test_file))
 
 
 def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
@@ -121,7 +188,7 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
 
     ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt_name)
     data_glob = os.path.join(os.path.dirname(__file__), "data",
-                             data_dir, "*.gpickle")
+                             data_dir, "*.gpickle*")
     import glob as g
 
     if not (os.path.isdir(ckpt_dir) and g.glob(data_glob)):
@@ -157,11 +224,15 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
     return float(np.mean(ratios))
 
 
-def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4,
-                     two_opt_iterations=1000):
+def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=128, parallel_sampling=4,
+                     two_opt_iterations=1000, time_budget=None):
     """Sparse TSP gap on a committed checkpoint + test split (None if the
-    artifacts are missing)."""
+    artifacts are missing). Defaults evaluate the reference-size split
+    (128 instances, reproducing_scripts.md:254-311); ``time_budget`` (s)
+    truncates the loop if the host is slow — the reported n is then the
+    actual count measured."""
     import os
+    import time as _time
 
     ckpt_dir = os.path.join(os.path.dirname(__file__), "checkpoints", ckpt_name)
     test_file = os.path.join(os.path.dirname(__file__), *test_rel.split("/"))
@@ -188,40 +259,45 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=4, parallel_sampling=4,
         state = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "default"))
     params = state["params"]
     ds = TSPDataset(test_file, sparse_factor=k)
-    gaps = []
+    costs, gts = [], []
     key = jax.random.PRNGKey(0)
+    t0 = _time.time()
     for i in range(min(n_instances, len(ds))):
         ex = ds.get(i)
         m = task.evaluate_instance(
             params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
             jax.random.fold_in(key, i), neighbors=jnp.asarray(ex["neighbors"]),
         )
-        gaps.append(m["gap"])
-    return float(np.mean(gaps))
+        costs.append(float(m["solved_cost"]))
+        gts.append(float(m["gt_cost"]))
+        if time_budget and _time.time() - t0 > time_budget and i >= 1:
+            break
+    return _gap_summary(costs, gts, _hk_bounds_for(test_file))
 
 
-def bench_tsp500(n_instances=4):
+def bench_tsp500(n_instances=128):
     return bench_tsp_sparse(
         "tsp500_sparse_categorical", "data/tsp500_test.txt", k=50,
-        n_instances=n_instances,
+        n_instances=n_instances, time_budget=600,
     )
 
 
-def bench_tsp1000(n_instances=3):
+def bench_tsp1000(n_instances=128):
     return bench_tsp_sparse(
         "tsp1000_sparse_categorical", "data/tsp1000/tsp1000_test.txt", k=100,
-        n_instances=n_instances,
+        n_instances=n_instances, time_budget=900,
     )
 
 
-def bench_tsp10000(n_instances=1):
+def bench_tsp10000(n_instances=16):
     """TSP-10000 (k=100) with the TSP-1000-trained model — the reference
     evaluates TSP-10000 with its TSP-1000 checkpoint too
     (reproducing_scripts.md:283-311), with --two_opt_iterations 5000.
-    Single sampling to bound runtime."""
+    Single sampling to bound runtime; 16 instances = the reference split."""
     return bench_tsp_sparse(
         "tsp1000_sparse_categorical", "data/tsp10000/tsp10000_test.txt", k=100,
         n_instances=n_instances, parallel_sampling=1, two_opt_iterations=5000,
+        time_budget=1200,
     )
 
 
@@ -291,7 +367,7 @@ def bench_mcts_tsp500(n_instances=2, time_per_city=0.02):
 
 
 def main():
-    samples_per_sec, steps_per_sec, dt = bench_sampling()
+    samples_per_sec, steps_per_sec, dt, mfu = bench_sampling()
     gap = bench_gap()
     mis_ratio = bench_mis()
     mis_sat_ratio = bench_mis(
@@ -309,12 +385,19 @@ def main():
     mis_er_gauss = bench_mis(
         ckpt_name="mis_er_gaussian_v2", diffusion_type="gaussian"
     )
+    # reference-scale ER-[700-800] p=0.15 (the reference's ER headline
+    # family), gaussian 12x256, ILS labels (native/mis/mis_ils.cpp)
+    mis_er700800_gauss = bench_mis(
+        n_instances=16, ckpt_name="mis_er700800_gaussian",
+        data_dir="mis_er700800_test", hidden_dim=256,
+        diffusion_type="gaussian",
+    )
     gap500 = bench_tsp500()
     gap1000 = bench_tsp1000()
     gap10000 = bench_tsp10000()
     mcts500 = bench_mcts_tsp500()
     gap_gaussian = bench_gap(ckpt="tsp50_gaussian_v2", diffusion_type="gaussian")
-    gap100 = bench_gap(ckpt="tsp100_categorical_v3",
+    gap100 = bench_gap(n_instances=128, ckpt="tsp100_categorical_v3",
                        test_rel="data/tsp100/tsp100_test.txt")
     # The reference publishes no numbers in-repo; vs_baseline is the ratio of
     # our measured throughput to a conservative reference-design estimate of
@@ -333,33 +416,56 @@ def main():
             "baseline_assumption": "20 samples/s reference-design estimate (no published numbers in-repo)",
         },
     }
+    d = result["detail"]
+    if mfu is not None:
+        d["mfu"] = round(mfu, 4)
+        d["mfu_note"] = (
+            "analytic matmul FLOPs (dense_gnn_flops_per_forward) / v5e "
+            "197 TFLOP/s bf16 peak"
+        )
+
+    def put_gap(prefix, g, hk_key=None):
+        if g is None:
+            return
+        d[f"{prefix}_gap_vs_best_known"] = round(g["gap"], 5)
+        d[f"{prefix}_n_instances"] = g["n"]
+        if "gap_vs_hk_lb" in g:
+            d[f"{prefix}_gap_vs_HK_LB"] = round(g["gap_vs_hk_lb"], 5)
+            d[f"{prefix}_HK_label_slack"] = round(g["hk_label_slack"], 5)
+
+    put_gap("tsp50", gap)
     if gap is not None:
-        result["detail"]["tsp50_gap_vs_best_known"] = round(gap, 5)
-        result["detail"]["gap_config"] = (
-            "self-distilled ckpt v3 (2 rounds of keep-if-better label refinement + retraining), 32 test instances, 4x parallel sampling; labels = best-known tours (model+MCTS refined)"
+        d["gap_config"] = (
+            "self-distilled ckpt v3, 4x parallel sampling; labels = "
+            "best-known tours (model+MCTS keep-if-better refined; see README "
+            "caveat); *_gap_vs_HK_LB = certified upper bound on the true "
+            "optimality gap via Held-Karp 1-tree lower bounds "
+            "(scripts/compute_hk_bounds.py), independent of labels"
         )
     if mis_ratio is not None:
-        result["detail"]["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
+        d["mis_er_setsize_vs_labels"] = round(mis_ratio, 5)
     if mis_sat_ratio is not None:
-        result["detail"]["mis_sat_setsize_vs_labels"] = round(mis_sat_ratio, 5)
+        d["mis_sat_setsize_vs_labels"] = round(mis_sat_ratio, 5)
     if mis_satp_ratio is not None:
-        result["detail"]["mis_sat_setsize_vs_optimal"] = round(mis_satp_ratio, 5)
+        d["mis_sat_setsize_vs_optimal"] = round(mis_satp_ratio, 5)
     if mis_er_gauss is not None:
-        result["detail"]["mis_er_gaussian_setsize_vs_labels"] = round(
-            mis_er_gauss, 5)
-    if gap500 is not None:
-        result["detail"]["tsp500_gap_vs_best_known"] = round(gap500, 5)
-    if gap1000 is not None:
-        result["detail"]["tsp1000_gap_vs_best_known"] = round(gap1000, 5)
+        d["mis_er_gaussian_setsize_vs_labels"] = round(mis_er_gauss, 5)
+    if mis_er700800_gauss is not None:
+        d["mis_er700800_gaussian_setsize_vs_labels"] = round(
+            mis_er700800_gauss, 5)
+    put_gap("tsp500", gap500)
+    put_gap("tsp1000", gap1000)
     if gap10000 is not None:
-        result["detail"]["tsp10000_gap_vs_2opt_labels"] = round(gap10000, 5)
+        d["tsp10000_gap_vs_2opt_labels"] = round(gap10000["gap"], 5)
+        d["tsp10000_n_instances"] = gap10000["n"]
     if mcts500 is not None:
-        result["detail"]["tsp500_mcts_gap_vs_best_known"] = round(mcts500, 5)
+        d["tsp500_mcts_gap_vs_best_known"] = round(mcts500, 5)
     if gap_gaussian is not None:
-        result["detail"]["tsp50_gaussian_gap_vs_best_known"] = round(
-            gap_gaussian, 5)
-    if gap100 is not None:
-        result["detail"]["tsp100_gap_vs_best_known"] = round(gap100, 5)
+        d["tsp50_gaussian_gap_vs_best_known"] = round(gap_gaussian["gap"], 5)
+        if "gap_vs_hk_lb" in gap_gaussian:
+            d["tsp50_gaussian_gap_vs_HK_LB"] = round(
+                gap_gaussian["gap_vs_hk_lb"], 5)
+    put_gap("tsp100", gap100)
     print(json.dumps(result))
 
 

@@ -199,6 +199,12 @@ def run(cfg: Config) -> dict:
 
     mesh = None
     n_dev = len(jax.devices())
+    if getattr(cfg, "n_data_devices", 0):
+        n_dev = min(n_dev, cfg.n_data_devices)
+    # the data axis shards the batch: use the largest device count that
+    # divides batch_size (a 8-device mesh can't shard a batch of 4)
+    while n_dev > 1 and cfg.batch_size % n_dev != 0:
+        n_dev -= 1
     if n_dev > 1:
         mesh = make_mesh((n_dev,), ("data",))
 

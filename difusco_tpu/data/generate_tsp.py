@@ -73,29 +73,89 @@ def two_opt_solve(points_batch: np.ndarray, chunk: int = 16) -> np.ndarray:
     return out
 
 
-def _external_solve(points: np.ndarray, solver: str) -> np.ndarray:
-    """Solve one instance with an external binary (concorde / lkh), matching
-    the reference's external-solver tier (generate_tsp_data.py:46-67)."""
-    if shutil.which(solver) is None:
-        raise RuntimeError(
-            f"external solver {solver!r} not found on PATH; "
-            "use --solver two_opt for the built-in labeler"
-        )
+def write_tsplib(path: str, points: np.ndarray, name: str = "gen") -> None:
+    """TSPLIB EUC_2D instance file (the format both Concorde and LKH
+    consume; coordinates scaled to integers as the reference's wrappers do,
+    generate_tsp_data.py:46-67)."""
     V = points.shape[0]
-    with tempfile.NamedTemporaryFile("w", suffix=".tsp", delete=False) as f:
-        f.write(f"NAME: gen\nTYPE: TSP\nDIMENSION: {V}\n")
+    with open(path, "w") as f:
+        f.write(f"NAME: {name}\nTYPE: TSP\nDIMENSION: {V}\n")
         f.write("EDGE_WEIGHT_TYPE: EUC_2D\nNODE_COORD_SECTION\n")
         for i, (x, y) in enumerate(points):
             f.write(f"{i + 1} {x * 1e6:.0f} {y * 1e6:.0f}\n")
         f.write("EOF\n")
-        path = f.name
-    out = subprocess.run(
-        [solver, path], capture_output=True, text=True, timeout=600
-    )
-    raise NotImplementedError(
-        f"parsing of {solver} output is environment-specific; stdout was: "
-        f"{out.stdout[:200]}"
-    )
+
+
+def _close_tour(tour: np.ndarray, V: int) -> np.ndarray:
+    tour = np.asarray(tour, np.int32)
+    assert sorted(tour.tolist()) == list(range(V)), "solver tour not a permutation"
+    return np.concatenate([tour, tour[:1]])
+
+
+def solve_concorde(points: np.ndarray, binary: str = "concorde") -> np.ndarray:
+    """Concorde CLI protocol: ``concorde -x -o out.sol inst.tsp``; the
+    solution file is "<V>\\n<space-separated 0-indexed tour>" (what the
+    reference reaches through pyconcorde, generate_tsp_data.py:46-56).
+    Returns a closed 0-indexed tour (V+1,)."""
+    V = points.shape[0]
+    with tempfile.TemporaryDirectory() as td:
+        inst = f"{td}/inst.tsp"
+        sol = f"{td}/inst.sol"
+        write_tsplib(inst, points)
+        subprocess.run(
+            [binary, "-x", "-o", sol, inst],
+            capture_output=True, text=True, timeout=3600, check=True, cwd=td,
+        )
+        toks = open(sol).read().split()
+    assert int(toks[0]) == V, f"solution header {toks[0]} != V={V}"
+    return _close_tour(np.array(toks[1:], np.int32), V)
+
+
+def solve_lkh(points: np.ndarray, binary: str = "LKH",
+              runs: int = 1, seed: int = 0) -> np.ndarray:
+    """LKH-3 CLI protocol: a parameter file naming PROBLEM_FILE and
+    TOUR_FILE; the tour file's TOUR_SECTION lists 1-indexed cities
+    terminated by -1 (what the reference reaches through the lkh wrapper,
+    generate_tsp_data.py:57-67). Returns a closed 0-indexed tour (V+1,)."""
+    V = points.shape[0]
+    with tempfile.TemporaryDirectory() as td:
+        inst = f"{td}/inst.tsp"
+        tourf = f"{td}/inst.tour"
+        par = f"{td}/inst.par"
+        write_tsplib(inst, points)
+        with open(par, "w") as f:
+            f.write(f"PROBLEM_FILE = {inst}\nTOUR_FILE = {tourf}\n"
+                    f"RUNS = {runs}\nSEED = {seed}\nTRACE_LEVEL = 0\n")
+        subprocess.run([binary, par], capture_output=True, text=True,
+                       timeout=3600, check=True)
+        lines = [ln.strip() for ln in open(tourf)]
+    tour = []
+    in_section = False
+    for ln in lines:
+        if ln == "TOUR_SECTION":
+            in_section = True
+            continue
+        if not in_section:
+            continue
+        if ln in ("-1", "EOF"):
+            break
+        tour.append(int(ln) - 1)
+    return _close_tour(np.array(tour, np.int32), V)
+
+
+def _external_solve(points: np.ndarray, solver: str) -> np.ndarray:
+    """Solve one instance with an external binary (concorde / lkh), matching
+    the reference's external-solver tier (generate_tsp_data.py:46-67)."""
+    name = {"concorde": "concorde", "lkh": "LKH"}.get(solver, solver)
+    binary = shutil.which(name) or shutil.which(solver)
+    if binary is None:
+        raise RuntimeError(
+            f"external solver {solver!r} not found on PATH; "
+            "use --solver two_opt for the built-in labeler"
+        )
+    if solver == "concorde":
+        return solve_concorde(points, binary)
+    return solve_lkh(points, binary)
 
 
 def generate(

@@ -35,6 +35,9 @@ def main():
                          "rest pass through unchanged")
     ap.add_argument("--out", default=None,
                     help="output path (default: rewrite --split in place)")
+    ap.add_argument("--resume_from", default=None,
+                    help="a <out>.partial file from an interrupted run; its "
+                         "refined prefix is reused instead of recomputed")
     args = ap.parse_args()
 
     import jax
@@ -82,8 +85,19 @@ def main():
     key = jax.random.PRNGKey(77)
     out = []
     improved = 0
+    start = 0
+    if args.resume_from:
+        # seed the refined prefix from a crash-safe .partial file and skip it
+        part = TSPDataset(args.resume_from)
+        for i in range(len(part)):
+            ex = part.get(i)
+            out.append((np.asarray(ex["points"], np.float64),
+                        np.asarray(ex["tour"])))
+        start = (len(part) // B) * B  # re-refine any ragged tail chunk
+        out = out[:start]
+        print(f"resumed {start} refined instances from {args.resume_from}")
     t0 = time.time()
-    for s in range(0, n, B):
+    for s in range(start, n, B):
         idx = list(range(s, min(s + B, n)))
         exs = [ds.get(i) for i in idx]
         # pad the tail chunk to B for a single compiled shape
@@ -102,19 +116,21 @@ def main():
             else:
                 out.append((np.asarray(exs[j]["points"], np.float64),
                             np.asarray(exs[j]["tour"])))
+        # crash-safe partial output every chunk; --resume_from picks it up
+        write_tsp_file(out_path + ".partial.tmp", out)
+        os.replace(out_path + ".partial.tmp", out_path + ".partial")
         if (s // B) % 20 == 0:
-            rate = (s + B) / max(time.time() - t0, 1e-9)
+            rate = (s + B - start) / max(time.time() - t0, 1e-9)
             print(f"  {s + len(idx)}/{n} ({rate:.0f} inst/s, "
                   f"{improved} improved)", flush=True)
-            # crash-safe partial output: refined prefix so far
-            write_tsp_file(out_path + ".partial", out)
 
     # instances beyond --limit pass through unchanged
     for i in range(n, len(ds)):
         ex = ds.get(i)
         out.append((np.asarray(ex["points"], np.float64),
                     np.asarray(ex["tour"])))
-    write_tsp_file(out_path, out)
+    write_tsp_file(out_path + ".tmp", out)
+    os.replace(out_path + ".tmp", out_path)
     if os.path.exists(out_path + ".partial"):
         os.remove(out_path + ".partial")
     print(f"rewrote {out_path}: {improved}/{n} labels improved")

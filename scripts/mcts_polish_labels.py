@@ -33,6 +33,8 @@ def main():
                     help="MCTS budget, seconds per city")
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="output path (default: atomically rewrite --split)")
     args = ap.parse_args()
 
     from difusco_tpu.data.tsp import TSPDataset, write_tsp_file
@@ -41,31 +43,32 @@ def main():
 
     ds = TSPDataset(args.split)
     n = len(ds) if not args.limit else min(args.limit, len(ds))
+    out_path = args.out or args.split
 
-    tmp = tempfile.mkdtemp()
-    inst_path = os.path.join(tmp, "inst.txt")
-    rows = []
-    for i in range(n):
-        ex = ds.get(i)
-        pts = np.asarray(ex["points"], np.float64)
-        rows.append((pts, np.asarray(ex["tour"])))
-        write_heatmap_txt(
-            os.path.join(tmp, f"h_{i}.txt"),
-            sparsify_heatmap(np.zeros((len(pts), len(pts))), pts),
+    with tempfile.TemporaryDirectory() as tmp:
+        inst_path = os.path.join(tmp, "inst.txt")
+        rows = []
+        for i in range(n):
+            ex = ds.get(i)
+            pts = np.asarray(ex["points"], np.float64)
+            rows.append((pts, np.asarray(ex["tour"])))
+            write_heatmap_txt(
+                os.path.join(tmp, f"h_{i}.txt"),
+                sparsify_heatmap(np.zeros((len(pts), len(pts))), pts),
+            )
+        write_tsp_file(inst_path, rows)
+
+        run_mcts(
+            inst_path, os.path.join(tmp, "h_{i}.txt"),
+            os.path.join(tmp, "stats.txt"), time_per_city=args.time,
+            threads=args.threads, tours_path=os.path.join(tmp, "tours.txt"),
+            extra_args=["--count", str(n)],
         )
-    write_tsp_file(inst_path, rows)
 
-    run_mcts(
-        inst_path, os.path.join(tmp, "h_{i}.txt"),
-        os.path.join(tmp, "stats.txt"), time_per_city=args.time,
-        threads=args.threads, tours_path=os.path.join(tmp, "tours.txt"),
-        extra_args=["--count", str(n)],
-    )
-
-    improved = 0
-    out = []
-    with open(os.path.join(tmp, "tours.txt")) as f:
-        lines = f.readlines()
+        improved = 0
+        out = []
+        with open(os.path.join(tmp, "tours.txt")) as f:
+            lines = f.readlines()
     for i, (pts, old) in enumerate(rows):
         V = len(pts)
         mt = np.asarray([int(x) - 1 for x in lines[i].split()], np.int64)
@@ -82,8 +85,10 @@ def main():
         ex = ds.get(i)
         out.append((np.asarray(ex["points"], np.float64),
                     np.asarray(ex["tour"])))
-    write_tsp_file(args.split, out)
-    print(f"rewrote {args.split}: {improved}/{n} labels improved by MCTS")
+    # atomic replace so an interrupt can't corrupt the dataset file
+    write_tsp_file(out_path + ".tmp", out)
+    os.replace(out_path + ".tmp", out_path)
+    print(f"rewrote {out_path}: {improved}/{n} labels improved by MCTS")
 
 
 if __name__ == "__main__":
