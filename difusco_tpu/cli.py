@@ -69,6 +69,9 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--aggregation", type=str, default="sum")
     p.add_argument("--two_opt_iterations", type=int, default=1000)
     p.add_argument("--two_opt_reference_parity", action="store_true")
+    p.add_argument("--mis_local_search_rounds", type=int, default=0,
+                   help="on-device MIS ILS refinement after greedy decode "
+                        "(0 = reference-parity greedy only)")
     p.add_argument("--save_numpy_heatmap", action="store_true")
 
     p.add_argument("--project_name", type=str, default="tsp_diffusion")

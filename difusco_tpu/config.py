@@ -56,6 +56,10 @@ class Config:
     two_opt_reference_parity: bool = False
     save_numpy_heatmap: bool = False
     merge_backend: str = "device"  # device | native | numpy
+    # on-device MIS iterated local search after greedy decode (the node-task
+    # analog of TSP's 2-opt; ops/mis_local_search.py). 0 = reference parity
+    # (greedy decode only, mis_utils.py:3-18)
+    mis_local_search_rounds: int = 0
 
     # ---- logging / checkpointing (reference train.py:56-61) ----
     project_name: str = "tsp_diffusion"

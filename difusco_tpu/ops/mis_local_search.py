@@ -1,0 +1,190 @@
+"""On-device MIS iterated local search: the node-task analog of TSP 2-opt.
+
+The reference decodes MIS heatmaps with greedy selection only
+(difusco/utils/mis_utils.py:3-18) while its TSP decode gets a 2-opt local
+search after the greedy merge (tsp_utils.py:12-49). This module closes that
+asymmetry with a TPU-native improvement pass over the decoded independent
+set, run entirely inside jit on the padded fixed-degree layout. Move set
+(Andrade-Resende-Werneck-style ILS):
+
+  - *maximalize*: Luby-style parallel rounds — every free node with no
+    selected neighbor proposes itself; proposals that beat all their
+    proposing neighbors' priorities join the set. Priorities are the model
+    heatmap plus per-round noise whose scale alternates between exploit
+    (0.02) and explore (3.0).
+  - *(1 -> 2) swap*: a selected node whose removal frees >= 2 candidates
+    (free nodes whose ONLY selected neighbor it is) is removed; the next
+    maximalize re-adds an independent subset of the freed candidates.
+  - *perturbation* (when no swap exists): alternate ARW force-insert
+    (a random non-selected node joins; its selected neighbors are evicted)
+    and a 2-node random kick.
+  - *periodic restart*: every ``restart_every`` rounds the working set is
+    rebuilt from scratch under fresh random priorities (the best-so-far set
+    is kept and returned).
+
+Everything is (V, K)-shaped gather/reduce — no host round-trips — and
+vmappable over the sample axis, so best-of-k decoding refines all chains in
+one dispatch. On ER-80 (p=0.2) random-heatmap decodes this matches the
+native C++ ILS solver (native/mis/mis_ils.cpp) set-for-set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sel_neighbor_count(x, neighbors, mask):
+    """(V,) number of selected real neighbors of every node."""
+    return jnp.sum(x[neighbors].astype(jnp.int32) * mask.astype(jnp.int32), -1)
+
+
+def _maximalize_round(x, pri, neighbors, mask, node_mask):
+    """One Luby round: add the local-priority-maxima of the candidate set."""
+    cnt = _sel_neighbor_count(x, neighbors, mask)
+    cand = (~x) & (cnt == 0) & node_mask
+    nbr_pri = jnp.where(cand[neighbors] & mask, pri[neighbors], -jnp.inf)
+    wins = cand & (pri > jnp.max(nbr_pri, axis=-1))
+    return x | wins
+
+
+def mis_local_search_device(
+    x0: jnp.ndarray,
+    pred: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    mask: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    key: jax.Array,
+    rounds: int = 512,
+    restart_every: int = 256,
+    luby_rounds: int = 8,
+) -> jnp.ndarray:
+    """Improve an independent set on device.
+
+    Args:
+      x0: (V,) 0/1 initial independent set (greedy decode output).
+      pred: (V,) model probabilities — add-priorities, so the search stays
+        heatmap-guided like the greedy decoder.
+      neighbors/mask: (V, K) padded fixed-degree adjacency.
+      node_mask: (V,) 1.0 for real (non-padding) nodes.
+      rounds: outer ILS iterations.
+
+    Returns (V,) 0/1 indicator of the best set found (>= |x0| selected).
+    """
+    V = pred.shape[0]
+    idx = jnp.arange(V)
+    nmb = node_mask > 0
+    # the MIS datasets add self-loops (reference mis_dataset.py:43-48);
+    # a self-edge must not count as a blocking neighbor here
+    mb = (mask > 0) & (neighbors != idx[:, None])
+    x = (x0 > 0) & nmb
+
+    pri0 = jnp.where(nmb, pred, -jnp.inf)
+    for _ in range(luby_rounds):  # make the seed set maximal
+        x = _maximalize_round(x, pri0, neighbors, mb, nmb)
+
+    def body(i, state):
+        x, best, key = state
+        key, k_pri, k_ins, k_kick = jax.random.split(key, 4)
+        x = jnp.where(i % restart_every == restart_every - 1,
+                      jnp.zeros(V, bool), x)
+        scale = jnp.where(i % 2 == 0, 0.02, 3.0)
+        pri = jnp.where(nmb, pred + jax.random.uniform(k_pri, (V,)) * scale,
+                        -jnp.inf)
+
+        # (1 -> 2) swap availability
+        cnt = _sel_neighbor_count(x, neighbors, mb)
+        one_blocked = (~x) & (cnt == 1) & nmb
+        sel_nbr = jnp.where(x[neighbors] & mb, neighbors, V)
+        blocker = jnp.min(sel_nbr, axis=-1)
+        freed = jnp.zeros((V + 1,), jnp.int32).at[
+            jnp.where(one_blocked, blocker, V)
+        ].add(1)[:V]
+        gain = jnp.where(x, freed, -1)
+        v = jnp.argmax(gain)
+        do_swap = gain[v] >= 2
+
+        # force-insert: random free node in, its selected neighbors out
+        r_ins = jnp.where((~x) & nmb, jax.random.uniform(k_ins, (V,)), -1.0)
+        u = jnp.argmax(r_ins)
+        evict = jnp.zeros((V + 1,), bool).at[
+            jnp.where(mb[u], neighbors[u], V)
+        ].max(True)[:V] & x
+        # 2-node kick
+        r_kick = jnp.where(x, jax.random.uniform(k_kick, (V,)), -1.0)
+        kicks = x & (r_kick >= jnp.sort(r_kick)[V - 2])
+
+        x_swap = x & (idx != v)
+        x_force = (x & (~evict)) | (idx == u)
+        x_kick = x & (~kicks)
+        x = jnp.where(do_swap, x_swap,
+                      jnp.where(i % 2 == 0, x_force, x_kick))
+        x = jax.lax.fori_loop(
+            0, luby_rounds,
+            lambda _, xx: _maximalize_round(xx, pri, neighbors, mb, nmb), x)
+        best = jax.lax.cond(jnp.sum(x) > jnp.sum(best),
+                            lambda: x, lambda: best)
+        return x, best, key
+
+    _, best, _ = jax.lax.fori_loop(0, rounds, body, (x, x, key))
+    return best.astype(jnp.int32)
+
+
+def mis_local_search_numpy(
+    x0, pred, neighbors, mask, node_mask, seed=0, rounds=512
+):
+    """Host oracle with the same move set (independent implementation for
+    differential testing): greedy maximalize, (1->2) swaps, force-insert /
+    kick perturbations, periodic restart, best-so-far tracking."""
+    rng = np.random.default_rng(seed)
+    V = len(pred)
+    nbr_sets = [
+        set(int(j) for j, m in zip(neighbors[i], mask[i])
+            if m > 0 and int(j) != i)  # ignore dataset self-loops
+        for i in range(V)
+    ]
+    real = [i for i in range(V) if node_mask[i] > 0]
+    x = set(int(i) for i in range(V) if x0[i] > 0 and node_mask[i] > 0)
+
+    def maximalize(x, noise_scale):
+        noise = rng.random(V) * noise_scale
+        free = [u for u in real if u not in x and not (nbr_sets[u] & x)]
+        for u in sorted(free, key=lambda u: -(pred[u] + noise[u])):
+            if not (nbr_sets[u] & x):
+                x.add(u)
+        return x
+
+    x = maximalize(x, 0.0)
+    best = set(x)
+    for i in range(rounds):
+        if i % 256 == 255:
+            x = set()
+        # best (1->2) swap
+        freed = {}
+        for u in real:
+            if u in x:
+                continue
+            blockers = nbr_sets[u] & x
+            if len(blockers) == 1:
+                (b,) = blockers
+                freed.setdefault(b, []).append(u)
+        swaps = {b: us for b, us in freed.items() if len(us) >= 2}
+        if swaps:
+            x.discard(max(swaps, key=lambda b: len(swaps[b])))
+        elif i % 2 == 0:
+            free = [u for u in real if u not in x]
+            if free:
+                u = int(rng.choice(free))
+                x -= nbr_sets[u]
+                x.add(u)
+        elif x:
+            for u in rng.choice(sorted(x), size=min(2, len(x)),
+                                replace=False):
+                x.discard(int(u))
+        x = maximalize(x, 0.02 if i % 2 == 0 else 3.0)
+        if len(x) > len(best):
+            best = set(x)
+    out = np.zeros(V, np.int32)
+    out[sorted(best)] = 1
+    return out

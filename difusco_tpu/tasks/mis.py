@@ -168,13 +168,33 @@ class MISTask:
         mask = jnp.asarray(example["mask"])
         node_mask = jnp.asarray(example["node_mask"])
         sols = []
+        heats = []
         for s in range(cfg.sequential_sampling):
             heat = self.sample(
                 params, nbrs, mask, jax.random.fold_in(key, s), cfg.parallel_sampling
             )
+            heats.append(heat)
             sols.append(self.decode(heat, nbrs, mask, node_mask))
         sols = jnp.concatenate(sols, axis=0)
         sizes = jnp.sum(sols, axis=-1)
         best = float(jnp.max(sizes))
         gt = float(np.sum(example["labels"] * example["node_mask"]))
-        return {"solved_cost": best, "gt_cost": gt}
+        out = {"solved_cost": best, "gt_cost": gt}
+        if cfg.mis_local_search_rounds > 0:
+            # refine every sampled chain with the on-device ILS
+            # (ops/mis_local_search.py) — the node-task analog of the 2-opt
+            # pass the TSP decode applies after merge
+            from difusco_tpu.ops.mis_local_search import mis_local_search_device
+
+            heats = jnp.concatenate(heats, axis=0)
+            S = heats.shape[0]
+            keys = jax.random.split(jax.random.fold_in(key, 10_007), S)
+            refined = jax.vmap(
+                lambda x, p, k: mis_local_search_device(
+                    x, p, nbrs, mask, node_mask, k,
+                    rounds=cfg.mis_local_search_rounds,
+                )
+            )(sols, heats, keys)
+            refined = refined * node_mask[None, :].astype(refined.dtype)
+            out["solved_cost_ls"] = float(jnp.max(jnp.sum(refined, -1)))
+        return out
