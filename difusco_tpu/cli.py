@@ -254,8 +254,13 @@ def run(cfg: Config) -> dict:
             )
             final_metrics.update(m)
 
+        train_batches = train_ds.batches(cfg.batch_size, seed=cfg.seed, epochs=None)
+        if cfg.num_workers > 0:
+            from difusco_tpu.data.prefetch import prefetch
+
+            train_batches = prefetch(train_batches, depth=3)
         params, history = trainer.fit(
-            train_ds.batches(cfg.batch_size, seed=cfg.seed, epochs=None),
+            train_batches,
             total_steps=total_steps,
             params=params,
             seed=cfg.seed,

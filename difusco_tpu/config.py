@@ -81,6 +81,10 @@ class Config:
     fused_inference: bool = True  # Pallas fused dense layer for sampling
     # (active only on the dense path with bf16/fp16 enabled)
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # host input-pipeline overlap (reference --num_workers, DataLoader
+    # workers): >0 prefetches batches in a background thread so host batch
+    # prep hides behind the async device step (data/prefetch.py)
+    num_workers: int = 16
     log_every: int = 50
     ckpt_every_epochs: int = 1
     ckpt_top_k: int = 3
