@@ -60,6 +60,9 @@ class Config:
     # analog of TSP's 2-opt; ops/mis_local_search.py). 0 = reference parity
     # (greedy decode only, mis_utils.py:3-18)
     mis_local_search_rounds: int = 0
+    # independent ILS replicas per sampled chain (vmapped on device, so the
+    # added chains cost ~nothing in wall-clock until compute-bound)
+    mis_local_search_replicas: int = 2
 
     # ---- logging / checkpointing (reference train.py:56-61) ----
     project_name: str = "tsp_diffusion"

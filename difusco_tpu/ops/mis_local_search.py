@@ -93,7 +93,10 @@ def mis_local_search_device(
         pri = jnp.where(nmb, pred + jax.random.uniform(k_pri, (V,)) * scale,
                         -jnp.inf)
 
-        # (1 -> 2) swap availability
+        # (1 -> 2) swaps: every selected node whose removal frees >= 2
+        # one-blocked candidates is removed in the same round (each
+        # candidate has a UNIQUE blocker, so freed-sets are disjoint; the
+        # maximalize below re-adds an independent subset per freed-set)
         cnt = _sel_neighbor_count(x, neighbors, mb)
         one_blocked = (~x) & (cnt == 1) & nmb
         sel_nbr = jnp.where(x[neighbors] & mb, neighbors, V)
@@ -101,9 +104,8 @@ def mis_local_search_device(
         freed = jnp.zeros((V + 1,), jnp.int32).at[
             jnp.where(one_blocked, blocker, V)
         ].add(1)[:V]
-        gain = jnp.where(x, freed, -1)
-        v = jnp.argmax(gain)
-        do_swap = gain[v] >= 2
+        swap_out = x & (freed >= 2)
+        do_swap = swap_out.any()
 
         # force-insert: random free node in, its selected neighbors out
         r_ins = jnp.where((~x) & nmb, jax.random.uniform(k_ins, (V,)), -1.0)
@@ -115,7 +117,7 @@ def mis_local_search_device(
         r_kick = jnp.where(x, jax.random.uniform(k_kick, (V,)), -1.0)
         kicks = x & (r_kick >= jnp.sort(r_kick)[V - 2])
 
-        x_swap = x & (idx != v)
+        x_swap = x & (~swap_out)
         x_force = (x & (~evict)) | (idx == u)
         x_kick = x & (~kicks)
         x = jnp.where(do_swap, x_swap,
@@ -171,7 +173,8 @@ def mis_local_search_numpy(
                 freed.setdefault(b, []).append(u)
         swaps = {b: us for b, us in freed.items() if len(us) >= 2}
         if swaps:
-            x.discard(max(swaps, key=lambda b: len(swaps[b])))
+            for b in swaps:  # disjoint freed-sets: remove all in one round
+                x.discard(b)
         elif i % 2 == 0:
             free = [u for u in real if u not in x]
             if free:

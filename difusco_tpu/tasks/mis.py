@@ -187,6 +187,9 @@ class MISTask:
             from difusco_tpu.ops.mis_local_search import mis_local_search_device
 
             heats = jnp.concatenate(heats, axis=0)
+            R = max(cfg.mis_local_search_replicas, 1)
+            heats = jnp.repeat(heats, R, axis=0)
+            sols_r = jnp.repeat(sols, R, axis=0)
             S = heats.shape[0]
             keys = jax.random.split(jax.random.fold_in(key, 10_007), S)
             refined = jax.vmap(
@@ -194,7 +197,7 @@ class MISTask:
                     x, p, nbrs, mask, node_mask, k,
                     rounds=cfg.mis_local_search_rounds,
                 )
-            )(sols, heats, keys)
+            )(sols_r, heats, keys)
             refined = refined * node_mask[None, :].astype(refined.dtype)
             out["solved_cost_ls"] = float(jnp.max(jnp.sum(refined, -1)))
         return out

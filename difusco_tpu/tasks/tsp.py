@@ -149,7 +149,7 @@ class TSPTask:
             and not self.sparse
             and (cfg.bf16 or cfg.fp16)
             and jax.default_backend() != "cpu"
-            and pad_waste <= 1.15
+            and (pad_waste <= 1.15 or getattr(self, "_force_fused", False))
         )
 
         # sparse fused kernels: 'onehot' does the gather as an in-kernel
