@@ -33,6 +33,9 @@ def main():
                     help="MCTS budget, seconds per city")
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--start", type=int, default=0,
+                    help="first instance to polish (earlier ones pass "
+                         "through unchanged)")
     ap.add_argument("--out", default=None,
                     help="output path (default: atomically rewrite --split)")
     args = ap.parse_args()
@@ -43,17 +46,18 @@ def main():
 
     ds = TSPDataset(args.split)
     n = len(ds) if not args.limit else min(args.limit, len(ds))
+    start = min(args.start, n)
     out_path = args.out or args.split
 
     with tempfile.TemporaryDirectory() as tmp:
         inst_path = os.path.join(tmp, "inst.txt")
         rows = []
-        for i in range(n):
+        for i in range(start, n):
             ex = ds.get(i)
             pts = np.asarray(ex["points"], np.float64)
             rows.append((pts, np.asarray(ex["tour"])))
             write_heatmap_txt(
-                os.path.join(tmp, f"h_{i}.txt"),
+                os.path.join(tmp, f"h_{i - start}.txt"),
                 sparsify_heatmap(np.zeros((len(pts), len(pts))), pts),
             )
         write_tsp_file(inst_path, rows)
@@ -62,11 +66,15 @@ def main():
             inst_path, os.path.join(tmp, "h_{i}.txt"),
             os.path.join(tmp, "stats.txt"), time_per_city=args.time,
             threads=args.threads, tours_path=os.path.join(tmp, "tours.txt"),
-            extra_args=["--count", str(n)],
+            extra_args=["--count", str(n - start)],
         )
 
         improved = 0
         out = []
+        for i in range(start):  # untouched prefix passes through
+            ex = ds.get(i)
+            out.append((np.asarray(ex["points"], np.float64),
+                        np.asarray(ex["tour"])))
         with open(os.path.join(tmp, "tours.txt")) as f:
             lines = f.readlines()
     for i, (pts, old) in enumerate(rows):
@@ -88,7 +96,7 @@ def main():
     # atomic replace so an interrupt can't corrupt the dataset file
     write_tsp_file(out_path + ".tmp", out)
     os.replace(out_path + ".tmp", out_path)
-    print(f"rewrote {out_path}: {improved}/{n} labels improved by MCTS")
+    print(f"rewrote {out_path}: {improved}/{n - start} labels improved by MCTS")
 
 
 if __name__ == "__main__":
