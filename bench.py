@@ -307,7 +307,7 @@ def bench_tsp10000(n_instances=16):
     return bench_tsp_sparse(
         "tsp1000_sparse_categorical", "data/tsp10000/tsp10000_test.txt", k=100,
         n_instances=n_instances, parallel_sampling=1, two_opt_iterations=5000,
-        time_budget=1200,
+        time_budget=1800,
     )
 
 

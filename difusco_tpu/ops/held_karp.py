@@ -15,13 +15,68 @@ optimum, so
 is a certified upper bound on the true optimality gap — no circularity.
 
 Pure numpy; O(V^2) memory, O(V^2) per ascent iteration (vectorized Prim).
+For large V a jitted JAX 1-tree (``use_jax=True``) folds the potentials into
+Prim's row access lazily — no O(V^2) reduced-cost matrix is ever
+materialized, and the V-step Prim loop runs compiled (lax.fori_loop) on
+whatever backend JAX has (CPU or TPU).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=4)
+def _one_tree_jax_fn(V: int):
+    """Compile a (D, pi) -> (weight, deg) minimum-1-tree for fixed V.
+
+    Reduced cost of row u is D[u] + pi[u] + pi, formed lazily per Prim step
+    (O(V) per step, O(V^2) total — but never an O(V^2) temporary)."""
+    import jax
+    import jax.numpy as jnp
+
+    INF = jnp.float32(3.4e38)
+
+    def one_tree(D, pi):
+        pi = pi.astype(jnp.float32)
+
+        def row(u):
+            return D[u] + pi[u] + pi
+
+        deg0 = jnp.zeros(V, jnp.int32)
+        in_tree0 = jnp.zeros(V, bool).at[0].set(True).at[1].set(True)
+        mind0 = jnp.where(jnp.arange(V) == 0, INF, row(1))
+        parent0 = jnp.ones(V, jnp.int32)
+
+        def body(_, carry):
+            weight, deg, in_tree, mind, parent = carry
+            masked = jnp.where(in_tree, INF, mind)
+            u = jnp.argmin(masked)
+            weight = weight + masked[u]
+            deg = deg.at[u].add(1).at[parent[u]].add(1)
+            in_tree = in_tree.at[u].set(True)
+            ru = row(u)
+            better = ru < mind
+            mind = jnp.where(better, ru, mind)
+            parent = jnp.where(better, u, parent)
+            return weight, deg, in_tree, mind, parent
+
+        weight, deg, *_ = jax.lax.fori_loop(
+            0, V - 2, body, (jnp.float32(0.0), deg0, in_tree0, mind0, parent0)
+        )
+        d0 = jnp.where(jnp.arange(V) == 0, INF, row(0))
+        a = jnp.argmin(d0)
+        w0a = d0[a]
+        d0b = d0.at[a].set(INF)
+        b = jnp.argmin(d0b)
+        weight = weight + w0a + d0b[b]
+        deg = deg.at[0].add(2).at[a].add(1).at[b].add(1)
+        return weight, deg
+
+    return jax.jit(one_tree)
 
 
 def _min_one_tree(D: np.ndarray) -> Tuple[float, np.ndarray]:
@@ -72,6 +127,7 @@ def held_karp_lower_bound(
     lam0: float = 2.0,
     patience: int = 20,
     seed: int = 0,
+    use_jax: bool = False,
 ) -> float:
     """Maximize the 1-tree bound by subgradient ascent over node potentials.
 
@@ -106,16 +162,32 @@ def held_karp_lower_bound(
             cur = nxt
         upper_bound = cost + D[cur, 0]
 
+    if use_jax:
+        # fast path: jitted lazy-reduced-cost Prim (no O(V^2) temporary).
+        # fp32 ascent, then ONE fp64 numpy recompute at the best potentials
+        # so the returned bound is certified at full precision.
+        import jax.numpy as jnp
+
+        fn = _one_tree_jax_fn(V)
+        Dd = jnp.asarray(D, jnp.float32)
+
     pi = np.zeros(V, np.float64)
     best = -np.inf
+    best_pi = pi.copy()
     lam = lam0
     stall = 0
     for _ in range(iterations):
-        Dr = D + pi[:, None] + pi[None, :]
-        w, deg = _min_one_tree(Dr)
+        if use_jax:
+            w, deg = fn(Dd, np.asarray(pi, np.float32))
+            w = float(w)
+            deg = np.asarray(deg, np.int64)
+        else:
+            Dr = D + pi[:, None] + pi[None, :]
+            w, deg = _min_one_tree(Dr)
         lb = w - 2.0 * pi.sum()
         if lb > best + 1e-12:
             best = lb
+            best_pi = pi.copy()
             stall = 0
         else:
             stall += 1
@@ -132,4 +204,9 @@ def held_karp_lower_bound(
             break
         t = lam * max(upper_bound - lb, 1e-12) / gnorm
         pi = pi + t * g
+    if use_jax:
+        # certify: exact fp64 1-tree at the best potentials found
+        Dr = D + best_pi[:, None] + best_pi[None, :]
+        w, _ = _min_one_tree(Dr)
+        best = w - 2.0 * best_pi.sum()
     return float(best)

@@ -277,3 +277,51 @@ class TestPlantedSAT:
         lbl = nx.get_node_attributes(g, "label")
         m = g.number_of_nodes() // 3
         assert sum(lbl.values()) == m
+
+
+class TestKnnLocalSearchLabeler:
+    """CPU kNN-restricted 2-opt/Or-opt labeler (generate_tsp.local_search_knn)
+    — the large-V path replacing the reference's Concorde/LKH labeling tier
+    (generate_tsp_data.py:46-67) where the dense device 2-opt cannot fit."""
+
+    def _cost(self, p, t):
+        d = p[t[1:]] - p[t[:-1]]
+        return float(np.sqrt((d * d).sum(-1)).sum())
+
+    def test_improves_and_valid(self):
+        from difusco_tpu.data.generate_tsp import (
+            local_search_knn, nearest_neighbor_tour)
+
+        rng = np.random.default_rng(0)
+        pts = rng.random((200, 2))
+        nn = nearest_neighbor_tour(pts)
+        ls = local_search_knn(pts, nn, k=8)
+        assert ls[0] == ls[-1]
+        assert sorted(ls[:-1].tolist()) == list(range(200))
+        assert self._cost(pts, ls) < self._cost(pts, nn)
+
+    def test_matches_dense_two_opt_quality(self):
+        """On a small instance the kNN-restricted search should land within
+        1% of the exhaustive dense device 2-opt."""
+        from difusco_tpu.data.generate_tsp import (
+            local_search_knn, nearest_neighbor_tour, two_opt_solve)
+
+        rng = np.random.default_rng(1)
+        pts = rng.random((1, 120, 2))
+        nn = nearest_neighbor_tour(pts[0])
+        ls = local_search_knn(pts[0], nn, k=10)
+        dense = two_opt_solve(pts, chunk=1)[0]
+        assert self._cost(pts[0], ls) <= 1.01 * self._cost(pts[0], dense)
+
+    def test_generate_routes_large_v_to_knn(self, monkeypatch):
+        from difusco_tpu.data import generate_tsp as gt
+
+        called = {}
+
+        def fake_knn(points, k=10):
+            called["knn"] = True
+            return np.stack([gt.nearest_neighbor_tour(p) for p in points])
+
+        monkeypatch.setattr(gt, "two_opt_knn_solve", fake_knn)
+        gt.generate(1, 2001, seed=0)
+        assert called.get("knn")
