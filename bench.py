@@ -119,7 +119,12 @@ def _gap_summary(costs, gt_costs, hk_lbs):
     gt = np.asarray(gt_costs, np.float64)
     out = {"gap": float(np.mean((costs - gt) / gt)), "n": int(len(costs))}
     if hk_lbs is not None:
-        lb = np.asarray([hk_lbs[i] for i in range(len(costs))], np.float64)
+        # partial bound files carry None for not-yet-computed instances
+        lb = np.asarray(
+            [hk_lbs[i] if i < len(hk_lbs) and hk_lbs[i] is not None
+             else np.nan for i in range(len(costs))],
+            np.float64,
+        )
         ok = np.isfinite(lb) & (lb > 0)
         if ok.any():
             out["gap_vs_hk_lb"] = float(np.mean((costs[ok] - lb[ok]) / lb[ok]))
