@@ -475,8 +475,13 @@ def main():
     put_gap("tsp500", gap500)
     put_gap("tsp1000", gap1000)
     if gap10000 is not None:
+        # labels = never-model-touched kNN-2opt/Or-opt tours
+        # (generate_tsp.local_search_knn), 16-instance reference-size split
         d["tsp10000_gap_vs_2opt_labels"] = round(gap10000["gap"], 5)
         d["tsp10000_n_instances"] = gap10000["n"]
+        if "gap_vs_hk_lb" in gap10000:
+            d["tsp10000_gap_vs_HK_LB"] = round(gap10000["gap_vs_hk_lb"], 5)
+            d["tsp10000_HK_label_slack"] = round(gap10000["hk_label_slack"], 5)
     if mcts500 is not None:
         d["tsp500_mcts_gap_vs_best_known"] = round(mcts500, 5)
     if gap_gaussian is not None:

@@ -77,14 +77,15 @@ def main():
         with multiprocessing.Pool(args.workers) as pool:
             for k, (i, lb, dt) in enumerate(pool.imap_unordered(_one, tasks)):
                 lbs[i] = lb
-                if k % 8 == 0 or k == len(tasks) - 1:
-                    print(f"  {k + 1}/{len(tasks)} (inst {i}: LB={lb:.4f}, "
-                          f"{dt:.1f}s)", flush=True)
-                    with open(out_path + ".tmp", "w") as f:
-                        json.dump({"split": args.split,
-                                   "iterations": args.iterations,
-                                   "lb": lbs}, f)
-                    os.replace(out_path + ".tmp", out_path)
+                # write after EVERY completion: at large V an instance takes
+                # minutes, and a partial file is directly usable by bench
+                print(f"  {k + 1}/{len(tasks)} (inst {i}: LB={lb:.4f}, "
+                      f"{dt:.1f}s)", flush=True)
+                with open(out_path + ".tmp", "w") as f:
+                    json.dump({"split": args.split,
+                               "iterations": args.iterations,
+                               "lb": lbs}, f)
+                os.replace(out_path + ".tmp", out_path)
     with open(out_path + ".tmp", "w") as f:
         json.dump({"split": args.split, "iterations": args.iterations,
                    "lb": lbs}, f)
