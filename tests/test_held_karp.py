@@ -45,3 +45,21 @@ def test_explicit_upper_bound_step_sizing():
     lb_ub = held_karp_lower_bound(pts, upper_bound=10.0, iterations=200)
     # both are valid bounds; they should land near each other
     assert abs(lb_auto - lb_ub) / lb_auto < 0.05
+
+
+def test_jax_path_matches_numpy():
+    """use_jax runs a jitted lazy-reduced-cost Prim (no O(V^2) temporary)
+    with fp64 recertification — the bound must agree with the pure-numpy
+    ascent to fp32-ascent tolerance and stay a valid lower bound."""
+    rng = np.random.default_rng(3)
+    pts = rng.random((40, 2))
+    lb_np = held_karp_lower_bound(pts, iterations=150)
+    lb_jx = held_karp_lower_bound(pts, iterations=150, use_jax=True)
+    assert abs(lb_np - lb_jx) / lb_np < 1e-4
+    # validity: below any tour (nearest-neighbor tour as a cheap UB)
+    from difusco_tpu.data.generate_tsp import nearest_neighbor_tour
+
+    t = nearest_neighbor_tour(pts)
+    d = pts[t[1:]] - pts[t[:-1]]
+    ub = float(np.sqrt((d * d).sum(-1)).sum())
+    assert lb_jx <= ub
