@@ -176,11 +176,9 @@ def _or_opt_sweep(
     rev_better = delta_rev < delta_fwd
     delta = np.where(rev_better, delta_rev, delta_fwd)
 
-    # anchor must not touch the segment or its boundary edges
-    seg_span = (q[..., None] - p[:, None, None]) % V           # (V,k,1)
-    bad = ((q - p[:, None]) % V < L) | ((p[:, None] - qn) % V == 0) \
-        | ((q - (p[:, None] - 1)) % V == 0)
-    del seg_span
+    # anchor must not touch the segment (q in [p, p+L)) or be the city just
+    # before it (q == p-1, i.e. the insertion edge is a boundary edge)
+    bad = ((q - p[:, None]) % V < L) | ((q - (p[:, None] - 1)) % V == 0)
     delta = np.where(bad, np.inf, delta)
     jbest = np.argmin(delta, axis=1)
     dbest = delta[p, jbest]
@@ -355,6 +353,9 @@ def generate(
         if num_nodes > 2000:
             # dense device 2-opt needs a B*V*V delta tensor; too big at this
             # scale — fall back to the CPU kNN-candidate variant
+            print(f"V={num_nodes} > 2000: routing solver two_opt -> "
+                  "two_opt_knn (candidate-restricted CPU labeler)",
+                  flush=True)
             tours = two_opt_knn_solve(points)
         else:
             tours = two_opt_solve(points)

@@ -17,8 +17,12 @@ is a certified upper bound on the true optimality gap — no circularity.
 Pure numpy; O(V^2) memory, O(V^2) per ascent iteration (vectorized Prim).
 For large V a jitted JAX 1-tree (``use_jax=True``) folds the potentials into
 Prim's row access lazily — no O(V^2) reduced-cost matrix is ever
-materialized, and the V-step Prim loop runs compiled (lax.fori_loop) on
-whatever backend JAX has (CPU or TPU).
+materialized. The V-step Prim loop is pinned to the CPU backend: thousands
+of tiny sequential fori_loop steps stall on the remote-tunnel TPU backend
+(each step is latency-bound, not compute-bound), while CPU runs them
+compiled and fast. For production bound computation prefer
+native/build/hk_bound (same ascent schedule in C++, ~1000x faster at large
+V; scripts/compute_hk_bounds.py --native).
 """
 
 from __future__ import annotations
@@ -34,9 +38,13 @@ def _one_tree_jax_fn(V: int):
     """Compile a (D, pi) -> (weight, deg) minimum-1-tree for fixed V.
 
     Reduced cost of row u is D[u] + pi[u] + pi, formed lazily per Prim step
-    (O(V) per step, O(V^2) total — but never an O(V^2) temporary)."""
+    (O(V) per step, O(V^2) total — but never an O(V^2) temporary).
+    Pinned to the CPU backend: the V-step serial fori_loop is latency-bound
+    and stalls on a remote-tunnel TPU backend (ADVICE r2)."""
     import jax
     import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
 
     INF = jnp.float32(3.4e38)
 
@@ -76,7 +84,7 @@ def _one_tree_jax_fn(V: int):
         deg = deg.at[0].add(2).at[a].add(1).at[b].add(1)
         return weight, deg
 
-    return jax.jit(one_tree)
+    return jax.jit(one_tree, device=cpu)
 
 
 def _min_one_tree(D: np.ndarray) -> Tuple[float, np.ndarray]:

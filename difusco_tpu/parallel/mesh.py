@@ -81,3 +81,27 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Place a dict of host arrays with the leading dim sharded over ``axis``."""
     s = sharded(mesh, axis)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def put_global(tree, mesh: Mesh, spec: P):
+    """Place a host-local pytree as GLOBAL jax.Arrays on ``mesh``.
+
+    Single-process: plain ``device_put``. Multi-process (a mesh spanning
+    several ``jax.distributed`` processes): every process must hold the SAME
+    full-value tree — the natural state here, since data iterators are
+    identically seeded on every rank — and each builds its address-local
+    shards via ``jax.make_array_from_process_local_data`` with
+    ``global_shape == local_shape`` (the documented same-data-everywhere
+    mode). This is the TPU-native analog of DDP's implicit per-rank batch
+    split (reference train.py:113): one logical batch, XLA sees a single
+    sharded array and inserts the gradient psum.
+    """
+    ns = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, ns)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(ns, x, x.shape)
+
+    return jax.tree.map(put, tree)

@@ -125,9 +125,10 @@ class Trainer:
         step_fn = self._build_step(optimizer)
 
         if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
-            params = jax.device_put(params, repl)
-            opt_state = jax.device_put(opt_state, repl)
+            from difusco_tpu.parallel.mesh import put_global
+
+            params = put_global(params, self.mesh, P())
+            opt_state = put_global(opt_state, self.mesh, P())
 
         history = []
         logf = open(log_path, "a") if log_path else None
@@ -151,8 +152,9 @@ class Trainer:
             kstep = jax.random.fold_in(step_key, step)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "tour"}
             if self.mesh is not None:
-                data = NamedSharding(self.mesh, P("data"))
-                jbatch = jax.device_put(jbatch, data)
+                from difusco_tpu.parallel.mesh import put_global
+
+                jbatch = put_global(jbatch, self.mesh, P("data"))
             params, opt_state, loss = step_fn(params, opt_state, jbatch, kstep)
 
             if (step + 1) % log_every == 0 or step == total_steps - 1:

@@ -6,6 +6,7 @@ that the documented single-process no-arg TPU-pod path degrades cleanly —
 without a pod (VERDICT r1 item 8)."""
 
 import jax
+import numpy as np
 import pytest
 
 from difusco_tpu.parallel import mesh as mesh_mod
@@ -41,6 +42,63 @@ class TestInitMultihost:
         monkeypatch.setattr(jax.distributed, "initialize", fake_init)
         mesh_mod.init_multihost()
         assert seen["called"]
+
+
+class TestRealTwoProcess:
+    def test_two_process_dp_step_identical_loss(self):
+        """Spawn TWO real CPU-backend processes against a localhost
+        coordinator and run two dp training steps through the production
+        Trainer over a mesh spanning both — no mocks (VERDICT r2 missing
+        #5). Asserts both ranks compute identical, finite losses, i.e. the
+        cross-process gradient psum actually ran."""
+        import json
+        import os
+        import re
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coordinator = f"127.0.0.1:{port}"
+
+        worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        })
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, "--coordinator", coordinator,
+                 "--num_processes", "2", "--rank", str(r)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, f"rank failed:\n{err[-2000:]}"
+            outs.append(out)
+
+        losses = {}
+        for out in outs:
+            m = re.search(r"RANK(\d) LOSSES (\[.*\])", out)
+            assert m, f"no LOSSES line in: {out[-500:]}"
+            losses[int(m.group(1))] = json.loads(m.group(2))
+        assert set(losses) == {0, 1}
+        assert len(losses[0]) == 2
+        assert losses[0] == losses[1]
+        assert all(np.isfinite(v) for v in losses[0])
 
 
 class TestCLIMultihostFlag:
