@@ -125,10 +125,14 @@ SOLVERS = {
 
 def _solve_one(args):
     path, out_dir, solver, kwargs = args
-    graph = _load_graph(path)
-    labels = SOLVERS[solver](graph, **kwargs)
     stem = os.path.basename(path).replace(".gpickle", "")
     out = os.path.join(out_dir, f"{stem}_unweighted.result")
+    if os.path.exists(out):  # resumable: interrupted runs pick up where left
+        with open(out) as f:
+            labels = np.array([int(x) for x in f.read().split()], np.int64)
+        return stem, int(labels.sum())
+    graph = _load_graph(path)
+    labels = SOLVERS[solver](graph, **kwargs)
     with open(out, "w") as f:
         f.write("\n".join(str(int(v)) for v in labels) + "\n")
     return stem, int(labels.sum())

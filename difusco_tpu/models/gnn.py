@@ -201,15 +201,28 @@ class GNNDenoiser(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, xt, points=None, neighbors=None, mask=None):
+    def __call__(self, t, xt, points=None, neighbors=None, mask=None,
+                 xt_binary: bool = False):
+        """``xt_binary=True`` declares xt ∈ {0, 1} exactly (always true in
+        the categorical denoise scan): the sinusoidal embed + its (N, H)x
+        (H, H) matmul collapse to a 2-row table select — same function, same
+        params, ~one full layer of FLOPs and 3 edge-tensor HBM passes saved
+        per step."""
         H = self.hidden_dim
         time_dim = H // 2
 
         if self.node_feature_only:
             # node labels -> sinusoidal embed -> linear (gnn_encoder.py:404-405)
-            x = nn.Dense(H, dtype=self.dtype, name="node_embed")(
-                emb.scalar_embedding_sine(xt, H).astype(self.dtype)
-            )
+            node_dense = nn.Dense(H, dtype=self.dtype, name="node_embed")
+            if xt_binary:
+                tab = node_dense(
+                    emb.scalar_embedding_sine(
+                        jnp.asarray([0.0, 1.0], jnp.float32), H
+                    ).astype(self.dtype)
+                )  # (2, H)
+                x = jnp.where(xt[..., None] > 0.5, tab[1], tab[0])
+            else:
+                x = node_dense(emb.scalar_embedding_sine(xt, H).astype(self.dtype))
             B, V = xt.shape
             K = neighbors.shape[-1]
             e = jnp.zeros((B, V, K, H), self.dtype)
@@ -217,9 +230,16 @@ class GNNDenoiser(nn.Module):
             x = nn.Dense(H, dtype=self.dtype, name="node_embed")(
                 emb.position_embedding_sine(points, H).astype(self.dtype)
             )
-            e = nn.Dense(H, dtype=self.dtype, name="edge_embed")(
-                emb.scalar_embedding_sine(xt, H).astype(self.dtype)
-            )
+            edge_dense = nn.Dense(H, dtype=self.dtype, name="edge_embed")
+            if xt_binary:
+                tab = edge_dense(
+                    emb.scalar_embedding_sine(
+                        jnp.asarray([0.0, 1.0], jnp.float32), H
+                    ).astype(self.dtype)
+                )  # (2, H)
+                e = jnp.where(xt[..., None] > 0.5, tab[1], tab[0])
+            else:
+                e = edge_dense(emb.scalar_embedding_sine(xt, H).astype(self.dtype))
 
         temb = emb.timestep_embedding(t, H)
         temb = nn.Dense(time_dim, dtype=self.dtype, name="time_embed_1")(temb)

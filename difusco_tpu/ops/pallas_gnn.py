@@ -99,7 +99,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "interpret")
+    jax.jit, static_argnames=("n_real", "interpret", "row_tile")
 )
 def fused_dense_layer(
     e: jax.Array,       # (S, Vp, Vp, H) bf16, padded
@@ -117,16 +117,17 @@ def fused_dense_layer(
     b_out: jax.Array,
     n_real: int,
     interpret: bool = False,
+    row_tile: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """One fused edge-stream layer on padded tensors.
 
     Returns (e_out (S,Vp,Vp,H), agg (S,Vp,H) fp32); only the first
-    ``n_real`` rows/cols are meaningful.
+    ``n_real`` rows/cols are meaningful. ``row_tile`` sets the i-rows per
+    grid step (TI): small tiles bound VMEM at large V, large tiles amortize
+    grid overhead at small V (TI=Vp -> grid (S, 1)).
     """
     S, Vp, _, H = e.shape
-    # row tile: TI=8 keeps every block sublane-aligned (Vp is a multiple of
-    # 16, so 8 | Vp) and gives GEMMs of M = 8*Vp
-    TI = 8 if Vp % 8 == 0 else Vp
+    TI = row_tile if Vp % row_tile == 0 else Vp
     n_tiles = Vp // TI
 
     as2d = lambda x: x.reshape(1, -1)
@@ -177,7 +178,8 @@ def fused_dense_layer(
 
 
 def dense_forward_fused(params, t, xt, points, n_layers: int, hidden_dim: int,
-                        out_channels: int, interpret: bool = False):
+                        out_channels: int, interpret: bool = False,
+                        xt_binary: bool = False, row_tile: int = 0):
     """Full dense TSP forward using the fused layer kernel.
 
     Numerically equivalent (mixed-precision) to
@@ -193,6 +195,10 @@ def dense_forward_fused(params, t, xt, points, n_layers: int, hidden_dim: int,
     bf16 = jnp.bfloat16
     S, V, _ = xt.shape
     Vp = _round_up(V, 16)
+    if row_tile == 0:
+        # default: ~4096 GEMM rows per grid step (VMEM-bounded at large V),
+        # rounded to the 8-sublane tile so TI | Vp stays true
+        row_tile = max(8, min(Vp, (4096 // Vp) // 8 * 8))
 
     def dense(px, x):  # x @ kernel + bias (bf16 matmul, f32 out)
         return (
@@ -202,7 +208,13 @@ def dense_forward_fused(params, t, xt, points, n_layers: int, hidden_dim: int,
         )
 
     x = dense(p["node_embed"], emb.position_embedding_sine(points, H))
-    e = dense(p["edge_embed"], emb.scalar_embedding_sine(xt, H)).astype(bf16)
+    if xt_binary:
+        # xt ∈ {0,1}: sinusoidal embed + matmul collapse to a 2-row select
+        tab = dense(p["edge_embed"], emb.scalar_embedding_sine(
+            jnp.asarray([0.0, 1.0], f32), H)).astype(bf16)  # (2, H)
+        e = jnp.where(xt[..., None] > 0.5, tab[1], tab[0])
+    else:
+        e = dense(p["edge_embed"], emb.scalar_embedding_sine(xt, H)).astype(bf16)
     # pad V -> Vp once; all layers stay padded
     pad_n = Vp - V
     if pad_n:
@@ -233,6 +245,7 @@ def dense_forward_fused(params, t, xt, points, n_layers: int, hidden_dim: int,
             lp["out"]["Dense_0"]["kernel"], lp["out"]["Dense_0"]["bias"],
             n_real=V,
             interpret=interpret,
+            row_tile=row_tile,
         )
         # node stream (small): x = x_in + relu(LN_h(Uh + agg))
         x = x + jax.nn.relu(layer_norm(conv["norm_h"], uh + agg))

@@ -298,7 +298,8 @@ def _round_up(x: int, m: int) -> int:
 
 def sparse_forward_fused(params, t, xt, points, neighbors,
                          n_layers: int, hidden_dim: int, out_channels: int,
-                         interpret: bool = False, variant: str = "onehot"):
+                         interpret: bool = False, variant: str = "onehot",
+                         xt_binary: bool = False):
     """Full sparse TSP forward with the fused layer kernel.
 
     Args:
@@ -327,7 +328,13 @@ def sparse_forward_fused(params, t, xt, points, neighbors,
         )
 
     x = dense(p["node_embed"], emb.position_embedding_sine(points, H))
-    e = dense(p["edge_embed"], emb.scalar_embedding_sine(xt, H)).astype(bf16)
+    if xt_binary:
+        # xt ∈ {0,1}: sinusoidal embed + matmul collapse to a 2-row select
+        tab = dense(p["edge_embed"], emb.scalar_embedding_sine(
+            jnp.asarray([0.0, 1.0], f32), H)).astype(bf16)  # (2, H)
+        e = jnp.where(xt[..., None] > 0.5, tab[1], tab[0])
+    else:
+        e = dense(p["edge_embed"], emb.scalar_embedding_sine(xt, H)).astype(bf16)
     nbrs = neighbors
     if pad_n:
         x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))

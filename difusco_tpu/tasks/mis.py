@@ -117,9 +117,10 @@ class MISTask:
         msk = jnp.broadcast_to(mask[None], (S,) + mask.shape)
         kx, kloop = jax.random.split(key)
 
-        def apply(t_scalar, xt):
+        def apply(t_scalar, xt, xt_binary=False):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
-            return self.model.apply(params, t_vec, xt, neighbors=nbrs, mask=msk)
+            return self.model.apply(params, t_vec, xt, neighbors=nbrs, mask=msk,
+                                    xt_binary=xt_binary)
 
         if cfg.diffusion_type == "categorical":
             xt = (jax.random.normal(kx, (S, V)) > 0).astype(jnp.float32)
@@ -127,7 +128,8 @@ class MISTask:
             def step(carry, pair):
                 xt, key = carry
                 key, sub = jax.random.split(key)
-                probs = jax.nn.softmax(apply(pair[0], xt), axis=-1)
+                # xt is exactly {0,1} throughout the categorical chain
+                probs = jax.nn.softmax(apply(pair[0], xt, xt_binary=True), axis=-1)
                 xt = dfn.categorical_posterior(
                     self.sched, pair[0], pair[1], probs, xt, sub
                 )

@@ -167,7 +167,7 @@ class TSPTask:
         )
         sparse_variant = "onehot" if V <= 1200 else "gathered"
 
-        def apply(t_scalar, xt):
+        def apply(t_scalar, xt, xt_binary=False):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
             if self.sparse:
                 if use_fused_sparse:
@@ -179,9 +179,11 @@ class TSPTask:
                         hidden_dim=cfg.hidden_dim,
                         out_channels=cfg.out_channels,
                         variant=sparse_variant,
+                        xt_binary=xt_binary,
                     )
                 return self.model.apply(
-                    params, t_vec, xt, points=pts, neighbors=nbrs
+                    params, t_vec, xt, points=pts, neighbors=nbrs,
+                    xt_binary=xt_binary,
                 )
             if use_fused:
                 from difusco_tpu.ops.pallas_gnn import dense_forward_fused
@@ -191,8 +193,10 @@ class TSPTask:
                     n_layers=cfg.n_layers,
                     hidden_dim=cfg.hidden_dim,
                     out_channels=cfg.out_channels,
+                    xt_binary=xt_binary,
                 )
-            return self.model.apply(params, t_vec, xt, points=pts)
+            return self.model.apply(params, t_vec, xt, points=pts,
+                                    xt_binary=xt_binary)
 
         if cfg.diffusion_type == "categorical":
             xt = (jax.random.normal(kx, shape) > 0).astype(jnp.float32)
@@ -200,7 +204,8 @@ class TSPTask:
             def step(carry, pair):
                 xt, key = carry
                 key, sub = jax.random.split(key)
-                probs = jax.nn.softmax(apply(pair[0], xt), axis=-1)
+                # xt is exactly {0,1} throughout the categorical chain
+                probs = jax.nn.softmax(apply(pair[0], xt, xt_binary=True), axis=-1)
                 xt = dfn.categorical_posterior(
                     self.sched, pair[0], pair[1], probs, xt, sub
                 )

@@ -1,0 +1,150 @@
+"""Reference-protocol MCTS evaluation on the full TSP-500 split.
+
+The reference evaluates its TSP-500 heatmaps with MCTS at Param_T = 0.10
+seconds/city over the whole 128-instance split with process-level
+parallelism (tsp_mcts/code/TSP_IO.h:23-26, solve-500.sh). This script runs
+that protocol with this framework's heatmaps + native solver and commits the
+stats (data/mcts_protocol_tsp500.json), including the gap vs the CERTIFIED
+Held-Karp lower bounds — the label-independent number VERDICT r2 asked for
+(the gap vs best-known labels is partly self-referential: the same solver
+helped refine those labels).
+
+Phases (resumable; heatmaps are cached under data/mcts_heatmaps_tsp500/):
+  1. sample one heatmap per instance with the sparse TSP-500 checkpoint (TPU)
+  2. sparsify (distance prior + top-quantile/top-3, decode/mcts.py) -> txt
+  3. native MCTS at --time 0.10 s/city, --threads N
+  4. stats JSON: mean gap vs labels, mean gap vs HK LB, per-instance costs
+
+Usage: python scripts/run_mcts_protocol.py [--n 128] [--time 0.10]
+       [--threads 2] [--skip_sampling]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HEAT_DIR = os.path.join(REPO, "data", "mcts_heatmaps_tsp500")
+TEST_FILE = os.path.join(REPO, "data", "tsp500_test.txt")
+OUT_JSON = os.path.join(REPO, "data", "mcts_protocol_tsp500.json")
+
+
+def sample_heatmaps(n):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from difusco_tpu.config import Config
+    from difusco_tpu.data.tsp import TSPDataset
+    from difusco_tpu.decode.mcts import sparsify_heatmap, write_heatmap_txt
+    from difusco_tpu.tasks.tsp import TSPTask
+
+    os.makedirs(HEAT_DIR, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(
+            os.path.join(REPO, "checkpoints", "tsp500_sparse_categorical",
+                         "default"))["params"]
+    cfg = Config(
+        task="tsp", diffusion_type="categorical", diffusion_schedule="cosine",
+        diffusion_steps=1000, inference_diffusion_steps=50,
+        inference_schedule="cosine", n_layers=12, hidden_dim=256,
+        sparse_factor=50, parallel_sampling=1, bf16=True,
+    )
+    task = TSPTask(cfg)
+    ds = TSPDataset(TEST_FILE, sparse_factor=50)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(min(n, len(ds))):
+        out = os.path.join(HEAT_DIR, f"heatmap_{i}.txt")
+        if os.path.exists(out):
+            continue
+        ex = ds.get(i)
+        heat = task.sample(
+            params, jnp.asarray(ex["points"]), jax.random.fold_in(key, i), 1,
+            neighbors=jnp.asarray(ex["neighbors"]),
+        )
+        h = np.asarray(heat)[0]
+        V, K = h.shape
+        dense = np.zeros((V, V), np.float32)
+        rows = np.arange(V)[:, None].repeat(K, 1)
+        dense[rows, np.asarray(ex["neighbors"])] = h
+        write_heatmap_txt(out, sparsify_heatmap(dense, np.asarray(ex["points"])))
+        if i % 16 == 0:
+            print(f"  heatmap {i} ({time.time() - t0:.0f}s)", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--time", type=float, default=0.10)
+    ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--skip_sampling", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_sampling:
+        sample_heatmaps(args.n)
+
+    from difusco_tpu.data.tsp import TSPDataset
+    from difusco_tpu.decode.mcts import run_mcts
+
+    tours_path = os.path.join(HEAT_DIR, "tours.txt")
+    stats = run_mcts(
+        TEST_FILE, os.path.join(HEAT_DIR, "heatmap_{i}.txt"),
+        os.path.join(HEAT_DIR, "stats.txt"), time_per_city=args.time,
+        threads=args.threads, extra_args=["--count", str(args.n)],
+        tours_path=tours_path,
+    )
+
+    # per-instance solved costs from the solver's tour dump
+    ds = TSPDataset(TEST_FILE)
+    costs, gts = [], []
+    with open(tours_path) as f:
+        tour_lines = [ln.split() for ln in f if ln.strip()]
+    for i, toks in enumerate(tour_lines[: args.n]):
+        # solver dumps 1-indexed open tours (native/mcts/tsp_mcts.cpp:661-667)
+        tour = np.array([int(x) - 1 for x in toks])
+        ex = ds.get(i)
+        pts = np.asarray(ex["points"])
+        closed = np.concatenate([tour, tour[:1]])
+        d = pts[closed[1:]] - pts[closed[:-1]]
+        costs.append(float(np.sqrt((d * d).sum(-1)).sum()))
+        gt_tour = np.asarray(ex["tour"])
+        gd = pts[gt_tour[1:]] - pts[gt_tour[:-1]]
+        gts.append(float(np.sqrt((gd * gd).sum(-1)).sum()))
+    costs = np.array(costs)
+    gts = np.array(gts)
+
+    result = {
+        "protocol": "reference solve-500.sh: full split, Param_T s/city "
+                    "(tsp_mcts/code/TSP_IO.h:23-26)",
+        "time_per_city": args.time,
+        "threads": args.threads,
+        "n": len(costs),
+        "gap_vs_best_known": float(np.mean((costs - gts) / gts)),
+        "solver_avg_gap_percent": stats.get("avg_gap_percent"),
+        "mean_cost": float(costs.mean()),
+        "costs": [round(float(c), 6) for c in costs],
+    }
+    hk_path = os.path.join(REPO, "data", "hk_lb", "tsp500_test_hk.json")
+    if os.path.exists(hk_path):
+        with open(hk_path) as f:
+            lbs = json.load(f)["lb"]
+        lb = np.array([lbs[i] for i in range(len(costs))], np.float64)
+        ok = np.isfinite(lb) & (lb > 0)
+        result["gap_vs_hk_lb"] = float(np.mean((costs[ok] - lb[ok]) / lb[ok]))
+        result["hk_label_slack"] = float(np.mean((gts[ok] - lb[ok]) / lb[ok]))
+
+    with open(OUT_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "costs"},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,17 @@ class TestDenseModel:
         assert out.shape == (2, 10, 10, 2)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_binary_embed_fast_path_matches(self):
+        """xt_binary=True (2-row embed table select, used by the categorical
+        denoise scan) must reproduce the full sinusoidal-embed forward on
+        {0,1} inputs with the same params."""
+        key = jax.random.PRNGKey(11)
+        model, params, (t, xt, pts) = _make_dense(key)
+        ref = model.apply(params, t, xt, points=pts)
+        fast = model.apply(params, t, xt, points=pts, xt_binary=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_param_count_formula(self):
         """Parameter count must match the reference architecture closed-form.
 
@@ -197,6 +208,23 @@ class TestNodeModel:
         out = model.apply(params, t, xt, neighbors=nbrs, mask=mask)
         assert out.shape == (B, V, 2)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_node_binary_embed_fast_path_matches(self):
+        key = jax.random.PRNGKey(6)
+        B, V, K = 2, 10, 5
+        model = GNNDenoiser(
+            n_layers=2, hidden_dim=64, out_channels=2, node_feature_only=True
+        )
+        xt = jax.random.bernoulli(key, 0.5, (B, V)).astype(jnp.float32)
+        nbrs = jax.random.randint(key, (B, V, K), 0, V)
+        mask = jnp.ones((B, V, K))
+        t = jnp.array([3.0, 7.0])
+        params = model.init(key, t, xt, neighbors=nbrs, mask=mask)
+        ref = model.apply(params, t, xt, neighbors=nbrs, mask=mask)
+        fast = model.apply(params, t, xt, neighbors=nbrs, mask=mask,
+                           xt_binary=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
 
     def test_mask_blocks_messages(self):
         """Padded (masked-out) neighbors must not influence the output."""
