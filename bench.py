@@ -50,27 +50,34 @@ def _restore_ckpt(ckpt_name):
     return _CKPT_CACHE[ckpt_name]
 
 
-def dense_gnn_flops_per_forward(V, H, n_layers, out_channels=2):
+def dense_gnn_flops_per_forward(V, H, n_layers, out_channels=2,
+                                binary_embed=True):
     """Analytic FLOPs of one dense GatedGCN forward (one denoise step of one
     sample). Counts matmul FLOPs (2*m*n*k): per layer 4 node linears (V,H)x
     (H,H), the edge linear C and the per-layer out projection (V^2,H)x(H,H);
     plus embeddings and the output head. Elementwise work is excluded
     (matmul-dominated model), so reported MFU is slightly conservative^*.
 
+    ``binary_embed=True`` (the categorical sampling path since r3): the edge
+    embedding is a 2-row table select, so its (V^2,H)x(H,H) matmul does NOT
+    execute and is excluded — counting it would inflate MFU.
+
     ^* conservative for the utilization claim: true executed FLOPs >= model.
     """
     per_layer = 2 * H * H * (4 * V + 2 * V * V)
-    embed = 2 * H * H * (V + V * V)  # node_embed + edge_embed
+    embed = 2 * H * H * (V if binary_embed else V + V * V)
     head = 2 * V * V * H * out_channels
     time_mlp = 2 * (H * (H // 2) + (H // 2) * (H // 2))
     return n_layers * per_layer + embed + head + time_mlp
 
 
-def sparse_gnn_flops_per_forward(V, K, H, n_layers, out_channels=2):
+def sparse_gnn_flops_per_forward(V, K, H, n_layers, out_channels=2,
+                                 binary_embed=True):
     """Analytic matmul FLOPs of one fixed-degree sparse forward: per layer
-    4 node linears (V,H)x(H,H) + edge linear and out projection on (V*K,H)."""
+    4 node linears (V,H)x(H,H) + edge linear and out projection on (V*K,H).
+    ``binary_embed``: see dense_gnn_flops_per_forward."""
     per_layer = 2 * H * H * (4 * V + 2 * V * K)
-    embed = 2 * H * H * (V + V * K)
+    embed = 2 * H * H * (V if binary_embed else V + V * K)
     head = 2 * V * K * H * out_channels
     return n_layers * per_layer + embed + head
 

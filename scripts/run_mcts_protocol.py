@@ -85,10 +85,15 @@ def main():
     ap.add_argument("--time", type=float, default=0.10)
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--skip_sampling", action="store_true")
+    ap.add_argument("--sample_only", action="store_true",
+                    help="phase 1 only (TPU); run the CPU solve later with "
+                         "--skip_sampling")
     args = ap.parse_args()
 
     if not args.skip_sampling:
         sample_heatmaps(args.n)
+    if args.sample_only:
+        return
 
     from difusco_tpu.data.tsp import TSPDataset
     from difusco_tpu.decode.mcts import run_mcts
