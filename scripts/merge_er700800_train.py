@@ -22,6 +22,10 @@ DST_LAB = os.path.join(REPO, "data", "mis_er700800_train_labels")
 
 
 def main():
+    marker = os.path.join(DST, ".merged_train2")
+    if os.path.exists(marker):
+        print("train2 already merged (marker present); nothing to do")
+        return 0
     existing = sorted(glob.glob(os.path.join(DST, "er_*.gpickle*")))
     offset = max(
         int(os.path.basename(f).split("_")[1].split(".")[0]) for f in existing
@@ -47,6 +51,9 @@ def main():
     print(f"linked {linked} graphs (offset {offset}), "
           f"{skipped} skipped (no label yet); "
           f"train dir now {len(glob.glob(os.path.join(DST, '*.gpickle*')))}")
+    if skipped == 0:
+        with open(marker, "w") as f:
+            f.write("merged\n")
     return 0
 
 

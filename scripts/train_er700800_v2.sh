@@ -12,8 +12,8 @@ exec python -m difusco_tpu.cli --task mis --do_train --do_test \
   --storage_path . --logger_name mis_er700800_gaussian_v2 \
   --training_split 'data/mis_er700800_train/*.gpickle' \
   --training_split_label_dir data/mis_er700800_train_labels \
-  --validation_split 'data/mis_er700800_val/*.gpickle' \
-  --test_split 'data/mis_er700800_test/*.gpickle' \
+  --validation_split 'data/mis_er700800_val/*.gpickle*' \
+  --test_split 'data/mis_er700800_test/*.gpickle*' \
   --diffusion_type gaussian --diffusion_schedule linear --inference_trick ddim \
   --inference_diffusion_steps 50 --inference_schedule cosine \
   --n_layers 12 --hidden_dim 256 --batch_size 4 --num_epochs "${1:-12}" \
