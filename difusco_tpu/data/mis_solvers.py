@@ -34,6 +34,11 @@ import numpy as np
 
 
 def _load_graph(path):
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            return pickle.load(f)
     with open(path, "rb") as f:
         return pickle.load(f)
 
