@@ -701,23 +701,26 @@ def main():
 
     emit()  # a parseable line exists even if the first section never returns
 
-    # (name, fn, est worst-case seconds incl. compile on a cold cache)
+    # (name, fn, est worst-case seconds on a WARM compile cache). Ordered by
+    # value-density: one representative of every metric family lands before
+    # the long per-instance tails, so a truncated run still carries the full
+    # metric surface (each section emits a cumulative line regardless).
     sections = [
-        ("sampling", sec_sampling, 90),
-        ("tsp50", sec_tsp50, 150),
-        ("tsp100", sec_tsp100, 120),
-        ("frozen_tsp50", sec_frozen_tsp50, 5),
-        ("tsp50_gaussian", sec_tsp50_gaussian, 90),
-        ("mis_er", sec_mis_er, 90),
-        ("mis_sat", sec_mis_sat, 90),
-        ("mis_satp", sec_mis_satp, 90),
-        ("mis_er_gauss", sec_mis_er_gauss, 60),
+        ("sampling", sec_sampling, 60),
         ("mcts_protocol", sec_mcts_protocol, 5),
-        ("sparse_throughput", sec_sparse_throughput, 180),
-        ("tsp500", sec_tsp500, 180),
+        ("mis_er", sec_mis_er, 60),
+        ("mis_sat", sec_mis_sat, 45),
+        ("mis_satp", sec_mis_satp, 60),
+        ("mis_er_gauss", sec_mis_er_gauss, 30),
+        ("sparse_throughput", sec_sparse_throughput, 90),
+        ("tsp500", sec_tsp500, 120),
         ("frozen_tsp500", sec_frozen_tsp500, 10),
-        ("mis_er700800", sec_mis_er700800, 240),
-        ("tsp1000", sec_tsp1000, 180),
+        ("mis_er700800", sec_mis_er700800, 200),
+        ("tsp1000", sec_tsp1000, 120),
+        ("tsp50", sec_tsp50, 150),
+        ("frozen_tsp50", sec_frozen_tsp50, 5),
+        ("tsp100", sec_tsp100, 120),
+        ("tsp50_gaussian", sec_tsp50_gaussian, 80),
         ("mcts_smoke", sec_mcts_smoke, 60),
         ("tsp10000", sec_tsp10000, 420),
     ]
