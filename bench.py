@@ -195,7 +195,8 @@ def _frozen_gap(live_test_file, frozen_name, costs):
     if not os.path.exists(frozen_file) or not costs:
         return None
     fds = TSPDataset(frozen_file)
-    lds = TSPDataset(live_test_file)
+    lds = TSPDataset(os.path.join(os.path.dirname(__file__),
+                                  *live_test_file.split("/")))
     n = min(len(costs), len(fds))
     ex0f, ex0l = fds.get(0), lds.get(0)
     if not np.allclose(ex0f["points"], ex0l["points"]):
@@ -254,7 +255,7 @@ def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
         )
         costs.append(float(m["solved_cost"]))
         gts.append(float(m["gt_cost"]))
-        if deadline_ts and time.time() > deadline_ts and i >= 1:
+        if deadline_ts and time.time() > deadline_ts:
             break
     return _gap_summary(costs, gts, _hk_bounds_for(test_file))
 
@@ -265,9 +266,9 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
               deadline_ts=None):
     """MIS solved/label set-size ratio on a committed checkpoint.
 
-    ``ls_rounds`` > 0 additionally reports the on-device local-search
-    decode (ops/mis_local_search.py) — returns (greedy_ratio, ls_ratio)
-    then; plain greedy ratio otherwise."""
+    Returns (greedy_ratio, ls_ratio_or_None, n_measured); ``ls_ratio`` is
+    populated when ``ls_rounds`` > 0 (the on-device local-search decode,
+    ops/mis_local_search.py)."""
     data_glob = os.path.join(os.path.dirname(__file__), "data",
                              data_dir, "*.gpickle*")
     import glob as g
@@ -303,7 +304,7 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
         ratios.append(m["solved_cost"] / max(m["gt_cost"], 1.0))
         if "solved_cost_ls" in m:
             ls_ratios.append(m["solved_cost_ls"] / max(m["gt_cost"], 1.0))
-        if deadline_ts and time.time() > deadline_ts and i >= 1:
+        if deadline_ts and time.time() > deadline_ts:
             break
     if ls_ratios:
         return float(np.mean(ratios)), float(np.mean(ls_ratios)), len(ratios)
@@ -349,7 +350,7 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=128,
         )
         costs.append(float(m["solved_cost"]))
         gts.append(float(m["gt_cost"]))
-        if deadline_ts and time.time() > deadline_ts and i >= 1:
+        if deadline_ts and time.time() > deadline_ts:
             break
     return _gap_summary(costs, gts, _hk_bounds_for(test_file))
 
@@ -724,9 +725,14 @@ def main():
         ("mcts_smoke", sec_mcts_smoke, 60),
         ("tsp10000", sec_tsp10000, 420),
     ]
+    # sections that honor deadline_ts internally may start with little time
+    # left (they truncate and record n); the rest must fully fit their est
+    truncatable = {"tsp50", "tsp100", "tsp50_gaussian", "mis_er", "mis_sat",
+                   "mis_satp", "mis_er_gauss", "mis_er700800", "tsp500",
+                   "tsp1000", "tsp10000"}
     for name, fn, est in sections:
         remaining = deadline - time.time()
-        if remaining < min(est, 30):
+        if remaining < (min(est, 30) if name in truncatable else est):
             d["sections_skipped"].append(name)
             continue
         t0 = time.time()
@@ -736,8 +742,7 @@ def main():
             d[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
         d["section_seconds"][name] = round(time.time() - t0, 1)
         emit()
-    if not d["section_seconds"]:
-        emit()
+    emit()  # final line always reflects the complete sections_skipped list
 
 
 if __name__ == "__main__":

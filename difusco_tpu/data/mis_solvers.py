@@ -135,11 +135,15 @@ def _solve_one(args):
     if os.path.exists(out):  # resumable: interrupted runs pick up where left
         with open(out) as f:
             labels = np.array([int(x) for x in f.read().split()], np.int64)
-        return stem, int(labels.sum())
+        if labels.size:  # empty/truncated-to-nothing file -> recompute
+            return stem, int(labels.sum())
     graph = _load_graph(path)
     labels = SOLVERS[solver](graph, **kwargs)
-    with open(out, "w") as f:
-        f.write("\n".join(str(int(v)) for v in labels) + "\n")
+    assert len(labels) == graph.number_of_nodes()
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:  # atomic: a killed run never leaves a
+        f.write("\n".join(str(int(v)) for v in labels) + "\n")  # short file
+    os.replace(tmp, out)
     return stem, int(labels.sum())
 
 

@@ -19,11 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _cost(pts, tour):
-    closed = np.concatenate([tour, tour[:1]])
-    d = pts[closed[1:]] - pts[closed[:-1]]
-    return float(np.sqrt((d * d).sum(-1)).sum())
+from difusco_tpu.utils.tours import tour_cost_np as _cost
 
 
 def main():

@@ -93,10 +93,10 @@ def main():
         if i in done:
             continue
         ex = ds.get(i)
+        from difusco_tpu.utils.tours import tour_cost_np
+
         pts = np.asarray(ex["points"], np.float64)
-        tour = np.asarray(ex["tour"])
-        d = pts[tour[1:]] - pts[tour[:-1]]
-        label_cost = float(np.sqrt((d * d).sum(-1)).sum())
+        label_cost = tour_cost_np(pts, np.asarray(ex["tour"]))
         tasks.append((i, pts, label_cost, args.iterations, args.native))
 
     lbs = [done.get(i) for i in range(n)]

@@ -23,13 +23,23 @@ DST_LAB = os.path.join(REPO, "data", "mis_er700800_train_labels")
 
 def main():
     marker = os.path.join(DST, ".merged_train2")
+    offset_file = os.path.join(DST, ".merge_offset_train2")
     if os.path.exists(marker):
         print("train2 already merged (marker present); nothing to do")
         return 0
-    existing = sorted(glob.glob(os.path.join(DST, "er_*.gpickle*")))
-    offset = max(
-        int(os.path.basename(f).split("_")[1].split(".")[0]) for f in existing
-    ) + 1
+    if os.path.exists(offset_file):
+        # a prior partial merge fixed the offset; reuse it so re-runs map
+        # src index i -> the SAME destination name (os.link is a no-op on
+        # already-linked files) instead of duplicating under a new offset
+        offset = int(open(offset_file).read())
+    else:
+        existing = sorted(glob.glob(os.path.join(DST, "er_*.gpickle*")))
+        offset = max(
+            int(os.path.basename(f).split("_")[1].split(".")[0])
+            for f in existing
+        ) + 1
+        with open(offset_file, "w") as f:
+            f.write(str(offset))
     src_files = sorted(glob.glob(os.path.join(SRC, "er_*.gpickle*")))
     linked = skipped = 0
     for f in src_files:

@@ -107,21 +107,19 @@ def main():
     )
 
     # per-instance solved costs from the solver's tour dump
+    from difusco_tpu.utils.tours import tour_cost_np
+
     ds = TSPDataset(TEST_FILE)
     costs, gts = [], []
     with open(tours_path) as f:
         tour_lines = [ln.split() for ln in f if ln.strip()]
     for i, toks in enumerate(tour_lines[: args.n]):
-        # solver dumps 1-indexed open tours (native/mcts/tsp_mcts.cpp:661-667)
+        # solver dumps 1-indexed tours (native/mcts/tsp_mcts.cpp:661-667)
         tour = np.array([int(x) - 1 for x in toks])
         ex = ds.get(i)
         pts = np.asarray(ex["points"])
-        closed = np.concatenate([tour, tour[:1]])
-        d = pts[closed[1:]] - pts[closed[:-1]]
-        costs.append(float(np.sqrt((d * d).sum(-1)).sum()))
-        gt_tour = np.asarray(ex["tour"])
-        gd = pts[gt_tour[1:]] - pts[gt_tour[:-1]]
-        gts.append(float(np.sqrt((gd * gd).sum(-1)).sum()))
+        costs.append(tour_cost_np(pts, tour))
+        gts.append(tour_cost_np(pts, np.asarray(ex["tour"])))
     costs = np.array(costs)
     gts = np.array(gts)
 

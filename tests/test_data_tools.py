@@ -325,3 +325,21 @@ class TestKnnLocalSearchLabeler:
         monkeypatch.setattr(gt, "two_opt_knn_solve", fake_knn)
         gt.generate(1, 2001, seed=0)
         assert called.get("knn")
+
+
+class TestTourCostNp:
+    def test_open_and_closed_agree(self):
+        import numpy as np
+
+        from difusco_tpu.utils.tours import tour_cost_np
+
+        rng = np.random.default_rng(0)
+        pts = rng.random((10, 2))
+        open_tour = rng.permutation(10)
+        closed = np.concatenate([open_tour, open_tour[:1]])
+        a = tour_cost_np(pts, open_tour)
+        b = tour_cost_np(pts, closed)
+        assert abs(a - b) < 1e-12
+        # square: unit side length, optimal cycle = 4
+        sq = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0]])
+        assert abs(tour_cost_np(sq, np.array([0, 1, 2, 3])) - 4.0) < 1e-12

@@ -70,25 +70,39 @@ class TestRealTwoProcess:
             "PALLAS_AXON_POOL_IPS": "",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         })
+        import tempfile
+
+        # stderr goes to files: sequential communicate() over PIPE-captured
+        # coordinated processes can deadlock when the other rank fills its
+        # 64KB stderr pipe before reaching the distributed barrier
+        errfiles = [tempfile.NamedTemporaryFile("w+", delete=False)
+                    for _ in range(2)]
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, "--coordinator", coordinator,
                  "--num_processes", "2", "--rank", str(r)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                stdout=subprocess.PIPE, stderr=errfiles[r], text=True,
                 env=env,
             )
             for r in range(2)
         ]
         outs = []
-        for p in procs:
-            try:
-                out, err = p.communicate(timeout=240)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            assert p.returncode == 0, f"rank failed:\n{err[-2000:]}"
-            outs.append(out)
+        try:
+            for r, p in enumerate(procs):
+                try:
+                    out, _ = p.communicate(timeout=240)
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    raise
+                errfiles[r].seek(0)
+                err = errfiles[r].read()
+                assert p.returncode == 0, f"rank failed:\n{err[-2000:]}"
+                outs.append(out)
+        finally:
+            for ef in errfiles:
+                ef.close()
+                os.unlink(ef.name)
 
         losses = {}
         for out in outs:
