@@ -620,7 +620,7 @@ def main():
             ckpt_name="mis_er700800_gaussian",
             data_dir="mis_er700800_test", hidden_dim=256,
             diffusion_type="gaussian",
-            ls_rounds=envn("BENCH_ER700800_ILS", 1024), ls_replicas=2,
+            ls_rounds=envn("BENCH_ER700800_ILS", 512), ls_replicas=2,
             deadline_ts=deadline - 15,
         )
         if r is not None:
