@@ -683,6 +683,23 @@ def main():
                 if k in st:
                     d[f"tsp500_mcts_protocol_{k}"] = st[k]
 
+    def sec_tsp10000_offline():
+        # committed artifact from the offline reference-config eval (the
+        # live section below rarely fits the deadline: V=10000 compile alone
+        # is ~10 min on a cold cache)
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "tsp10000_offline_eval.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                st = json.load(f)
+            d["tsp10000_offline_gap_vs_2opt_labels"] = round(st["gap"], 5)
+            d["tsp10000_offline_n"] = st["n"]
+            if "gap_vs_hk_lb" in st:
+                d["tsp10000_offline_gap_vs_HK_LB"] = round(
+                    st["gap_vs_hk_lb"], 5)
+                d["tsp10000_offline_HK_label_slack"] = round(
+                    st["hk_label_slack"], 5)
+
     def sec_tsp10000():
         # TSP-10000 (k=100) with the TSP-1000-trained model — the reference
         # evaluates TSP-10000 with its TSP-1000 checkpoint too
@@ -709,6 +726,7 @@ def main():
     sections = [
         ("sampling", sec_sampling, 60),
         ("mcts_protocol", sec_mcts_protocol, 5),
+        ("tsp10000_offline", sec_tsp10000_offline, 5),
         ("mis_er", sec_mis_er, 60),
         ("mis_sat", sec_mis_sat, 45),
         ("mis_satp", sec_mis_satp, 60),
