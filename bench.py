@@ -184,8 +184,9 @@ def _frozen_gap(live_test_file, frozen_name, costs):
 
     The frozen splits share instance POINTS with the live splits (only the
     labels differ, data/frozen/README.md), so the costs computed in the live
-    gap section apply verbatim; this just swaps the denominator. Verifies
-    the point identity for the first instance as a guard."""
+    gap section apply verbatim; this just swaps the denominator. Point
+    identity is verified per instance; any instance whose points diverged
+    is dropped from the gap rather than silently mismatched."""
     from difusco_tpu.data.tsp import TSPDataset
     from difusco_tpu.ops.two_opt import tour_cost
     import jax.numpy as jnp
@@ -198,17 +199,19 @@ def _frozen_gap(live_test_file, frozen_name, costs):
     lds = TSPDataset(os.path.join(os.path.dirname(__file__),
                                   *live_test_file.split("/")))
     n = min(len(costs), len(fds))
-    ex0f, ex0l = fds.get(0), lds.get(0)
-    if not np.allclose(ex0f["points"], ex0l["points"]):
-        return None  # points diverged; frozen comparison invalid
-    gts = []
+    kept_costs, gts = [], []
     for i in range(n):
         ex = fds.get(i)
+        if not np.allclose(ex["points"], lds.get(i)["points"]):
+            continue  # points diverged; this instance's cost is for other pts
+        kept_costs.append(costs[i])
         gts.append(float(tour_cost(jnp.asarray(ex["points"]),
                                    jnp.asarray(ex["tour"]))))
-    c = np.asarray(costs[:n], np.float64)
+    if not kept_costs:
+        return None
+    c = np.asarray(kept_costs, np.float64)
     g = np.asarray(gts, np.float64)
-    return {"gap": float(np.mean((c - g) / g)), "n": n}
+    return {"gap": float(np.mean((c - g) / g)), "n": len(kept_costs)}
 
 
 def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
@@ -472,6 +475,79 @@ def bench_mcts_tsp500(n_instances=2, time_per_city=0.02):
     return stats["avg_gap_percent"] / 100.0
 
 
+def bench_train_throughput(n_warmup=2, n_iters=10):
+    """Training-step throughput + analytic MFU for the two configs the
+    reference spends its GPU-hours on (VERDICT r3 item 8): the flagship
+    dense TSP-50 categorical (batch 32) and MIS ER-[700-800] gaussian
+    (12x256, batch 4, activation checkpointing — the reproducing_scripts.md
+    :340-368 config). Synthetic batches with the real shapes; MFU counts
+    useful FLOPs only (fwd+bwd ~= 3x forward; remat recompute excluded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from difusco_tpu.config import Config
+    from difusco_tpu.tasks.mis import MISTask
+    from difusco_tpu.tasks.tsp import TSPTask
+    from difusco_tpu.train.trainer import Trainer, make_optimizer
+
+    rng = np.random.default_rng(0)
+    peak = tpu_peak_bf16_flops()
+    out = {}
+
+    def run(task, cfg, batch, fwd_flops_per_batch, name):
+        params = task.init_params(jax.random.PRNGKey(0), batch)
+        optimizer = make_optimizer(cfg, 1000)
+        step = Trainer(task, cfg)._build_step(optimizer)
+        opt_state = optimizer.init(params)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key = jax.random.PRNGKey(1)
+        for i in range(n_warmup):
+            params, opt_state, loss = step(params, opt_state, jbatch,
+                                           jax.random.fold_in(key, i))
+        loss.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_state, loss = step(params, opt_state, jbatch,
+                                           jax.random.fold_in(key, 100 + i))
+        loss.block_until_ready()
+        dt = (time.perf_counter() - t0) / n_iters
+        out[f"{name}_train_steps_per_sec"] = round(1.0 / dt, 3)
+        if peak:
+            out[f"{name}_train_mfu"] = round(
+                3.0 * fwd_flops_per_batch / dt / peak, 4)
+
+    # flagship dense TSP-50 categorical, batch 32
+    V, B = 50, 32
+    cfg = Config(
+        task="tsp", diffusion_type="categorical", diffusion_schedule="linear",
+        diffusion_steps=1000, n_layers=12, hidden_dim=256, batch_size=B,
+        learning_rate=2e-4, bf16=True,
+    )
+    pts = rng.random((B, V, 2)).astype(np.float32)
+    adj = np.zeros((B, V, V), np.float32)
+    perm = np.stack([rng.permutation(V) for _ in range(B)])
+    adj[np.arange(B)[:, None], perm, np.roll(perm, 1, axis=1)] = 1.0
+    run(TSPTask(cfg), cfg, {"points": pts, "adj": adj},
+        B * dense_gnn_flops_per_forward(V, 256, 12), "tsp50")
+
+    # MIS ER-[700-800] gaussian, batch 4, activation checkpointing
+    V, K, B = 800, 168, 4
+    cfg = Config(
+        task="mis", diffusion_type="gaussian", diffusion_schedule="linear",
+        diffusion_steps=1000, n_layers=12, hidden_dim=256, batch_size=B,
+        learning_rate=2e-4, bf16=True, use_activation_checkpoint=True,
+    )
+    nbrs = rng.integers(0, V, (B, V, K)).astype(np.int32)
+    mask = (rng.random((B, V, K)) < 0.9).astype(np.float32)
+    labels = (rng.random((B, V)) < 0.05).astype(np.float32)
+    batch = {"labels": labels, "neighbors": nbrs, "mask": mask,
+             "node_mask": np.ones((B, V), np.float32)}
+    run(MISTask(cfg), cfg, batch,
+        B * sparse_gnn_flops_per_forward(V, K, 256, 12, out_channels=1),
+        "mis_er700800")
+    return out
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: bench sections for distinct (V, S)
     shapes each pay a multi-minute compile on this 2-core host otherwise
@@ -518,6 +594,27 @@ def main():
     def emit():
         d["bench_seconds"] = round(time.time() - t_start, 1)
         print(json.dumps(result), flush=True)
+        # compact summary line AFTER the full line (newest-last): the
+        # driver records only the last ~2 KB of stdout, and the cumulative
+        # full line outgrew that window in round 3 — this line alone must
+        # carry the round's verdict-critical numbers (VERDICT r3 weak #1)
+        summary = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "vs_baseline": result["vs_baseline"],
+            "compact": True,
+            "mfu": d.get("mfu"),
+            "sections_skipped": d["sections_skipped"],
+            "bench_seconds": d["bench_seconds"],
+        }
+        for k, v in d.items():
+            if k.endswith(("_gap_vs_best_known", "_gap_vs_HK_LB",
+                           "_gap_vs_hk_lb", "_gap_vs_optimal",
+                           "_setsize_vs_labels", "_setsize_vs_optimal",
+                           "_gap_vs_2opt_labels", "_steps_per_sec")):
+                summary[k] = v
+        print(json.dumps(summary), flush=True)
 
     def put_gap(prefix, g):
         if g is None:
@@ -629,6 +726,9 @@ def main():
                 greedy_r, 5)
             if ls_r is not None:
                 d["mis_er700800_gaussian_setsize_vs_labels"] = round(ls_r, 5)
+                # record the benched ILS budget so the number is never
+                # quoted for a different config (VERDICT r3 weak #5)
+                d["mis_er700800_ls_rounds"] = envn("BENCH_ER700800_ILS", 512)
             d["mis_er700800_n"] = n
 
     def sec_sparse_throughput():
@@ -670,18 +770,47 @@ def main():
         if m is not None:
             d["tsp500_mcts_smoke_gap_vs_best_known"] = round(m, 5)
 
-    def sec_mcts_protocol():
+    def _mcts_protocol_family(split, artifact, test_rel):
         # committed artifact from the offline reference-protocol run
-        # (scripts/run_mcts_protocol.py: full split, Param_T=0.10 s/city)
-        path = os.path.join(os.path.dirname(__file__), "data",
-                            "mcts_protocol_tsp500.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                st = json.load(f)
-            for k in ("gap_vs_best_known", "gap_vs_hk_lb", "n",
-                      "time_per_city"):
-                if k in st:
-                    d[f"tsp500_mcts_protocol_{k}"] = st[k]
+        # (scripts/run_mcts_protocol*.py: full split, Param_T=0.10 s/city).
+        # gap_vs_best_known is RECOMPUTED from the artifact's stored
+        # per-instance costs against the CURRENT split labels — labels can
+        # be refined between rounds, so the stored gap can go stale
+        # (advisor r3 medium finding).
+        path = os.path.join(os.path.dirname(__file__), "data", artifact)
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            st = json.load(f)
+        prefix = f"tsp{split}_mcts_protocol"
+        for k in ("gap_vs_hk_lb", "n", "time_per_city"):
+            if k in st:
+                d[f"{prefix}_{k}"] = st[k]
+        test_file = os.path.join(os.path.dirname(__file__),
+                                 *test_rel.split("/"))
+        if "costs" in st and os.path.exists(test_file):
+            from difusco_tpu.data.tsp import TSPDataset
+            from difusco_tpu.utils.tours import tour_cost_np
+
+            ds = TSPDataset(test_file)
+            costs = np.asarray(st["costs"], np.float64)
+            n = min(len(costs), len(ds))
+            gts = np.asarray(
+                [tour_cost_np(np.asarray(ds.get(i)["points"]),
+                              np.asarray(ds.get(i)["tour"]))
+                 for i in range(n)], np.float64)
+            d[f"{prefix}_gap_vs_best_known"] = round(
+                float(np.mean((costs[:n] - gts) / gts)), 5)
+        elif "gap_vs_best_known" in st:
+            d[f"{prefix}_gap_vs_best_known"] = st["gap_vs_best_known"]
+
+    def sec_mcts_protocol():
+        _mcts_protocol_family(500, "mcts_protocol_tsp500.json",
+                              "data/tsp500_test.txt")
+        _mcts_protocol_family(1000, "mcts_protocol_tsp1000.json",
+                              "data/tsp1000/tsp1000_test.txt")
+        _mcts_protocol_family(10000, "mcts_protocol_tsp10000.json",
+                              "data/tsp10000/tsp10000_test.txt")
 
     def sec_tsp10000_offline():
         # committed artifact from the offline reference-config eval (the
@@ -723,10 +852,15 @@ def main():
     # value-density: one representative of every metric family lands before
     # the long per-instance tails, so a truncated run still carries the full
     # metric surface (each section emits a cumulative line regardless).
+    def sec_train_throughput():
+        r = bench_train_throughput()
+        d.update(r)
+
     sections = [
         ("sampling", sec_sampling, 60),
         ("mcts_protocol", sec_mcts_protocol, 5),
         ("tsp10000_offline", sec_tsp10000_offline, 5),
+        ("train_throughput", sec_train_throughput, 150),
         ("mis_er", sec_mis_er, 60),
         ("mis_sat", sec_mis_sat, 45),
         ("mis_satp", sec_mis_satp, 60),
@@ -748,9 +882,21 @@ def main():
     truncatable = {"tsp50", "tsp100", "tsp50_gaussian", "mis_er", "mis_sat",
                    "mis_satp", "mis_er_gauss", "mis_er700800", "tsp500",
                    "tsp1000", "tsp10000"}
+    # worst-case COLD compile seconds for the long-compile sections: on a
+    # cold XLA cache (the axon remote backend never hits the persistent
+    # cache) a truncatable section admitted with 30 s left can still burn
+    # ~10 min compiling before its first per-instance deadline check
+    # (advisor r3 finding) — admit those only if the compile itself fits
+    cold_compile_floor = {"tsp10000": 600, "tsp1000": 300, "tsp500": 300,
+                          "sparse_throughput": 300, "train_throughput": 200}
     for name, fn, est in sections:
         remaining = deadline - time.time()
-        if remaining < (min(est, 30) if name in truncatable else est):
+        # cold-cache probe: the sampling section compiles the flagship
+        # sampler first; a warm cache finishes it in well under 2 min
+        cold = d["section_seconds"].get("sampling", 0) > 120
+        floor = cold_compile_floor.get(name, 0) if cold else 0
+        need = (min(est, 30) if name in truncatable else est) + floor
+        if remaining < need:
             d["sections_skipped"].append(name)
             continue
         t0 = time.time()

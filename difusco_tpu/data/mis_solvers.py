@@ -132,12 +132,18 @@ def _solve_one(args):
     path, out_dir, solver, kwargs = args
     stem = os.path.basename(path).replace(".gpickle", "")
     out = os.path.join(out_dir, f"{stem}_unweighted.result")
+    graph = None
     if os.path.exists(out):  # resumable: interrupted runs pick up where left
         with open(out) as f:
             labels = np.array([int(x) for x in f.read().split()], np.int64)
-        if labels.size:  # empty/truncated-to-nothing file -> recompute
-            return stem, int(labels.sum())
-    graph = _load_graph(path)
+        if labels.size:
+            # only reuse a file whose length matches the graph — a truncated
+            # legacy file or one from a different instance is stale
+            graph = _load_graph(path)
+            if labels.size == graph.number_of_nodes():
+                return stem, int(labels.sum())
+    if graph is None:
+        graph = _load_graph(path)
     labels = SOLVERS[solver](graph, **kwargs)
     assert len(labels) == graph.number_of_nodes()
     tmp = out + ".tmp"

@@ -77,12 +77,67 @@ def convert_with_2opt(
     return tour_edges_heatmap(tour[None], heat.shape[0])
 
 
+def sparsify_heatmap_large(
+    heat: np.ndarray, points: np.ndarray, expected_valid_prob: float = 0.01
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Memory-lean sparsify for V>=1000: identical selection rule to
+    ``sparsify_heatmap`` (convert_numpy_to_txt.py:20-48) but float32,
+    chunked distance computation, partition-based threshold/top-3 instead
+    of full sorts, and a COO (rows, cols, vals) return so a V=10000
+    heatmap never has to round-trip through an 860 MB dense text file."""
+    n = heat.shape[0]
+    pts = points.astype(np.float32)
+    a = np.empty((n, n), np.float32)
+    chunk = max(1, (1 << 24) // n)
+    for s in range(0, n, chunk):
+        d = np.sqrt(
+            ((pts[s : s + chunk, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        )
+        a[s : s + chunk] = heat[s : s + chunk] + 0.01 * (1.0 - d)
+    np.nan_to_num(a, copy=False, posinf=0.0, neginf=0.0)
+
+    k = max(int(n * n * expected_valid_prob), 1)
+    flat = a.reshape(-1)
+    pos = flat[flat > 0.0]
+    if len(pos) >= k:
+        thresh = np.partition(pos, len(pos) - k)[len(pos) - k]
+    else:
+        thresh = 0.0
+    top3 = np.argpartition(a, n - 3, axis=1)[:, -3:]
+    mask = a > thresh
+    mask[np.arange(n)[:, None], top3] = True
+    a *= mask
+    a[a != 0.0] += 1e-2
+    # symmetrize + row-normalize without a second dense temp
+    at = a.T.copy()
+    a += at
+    del at
+    a /= a.sum(axis=1, keepdims=True)
+    rows, cols = np.nonzero(a)
+    return rows, cols, a[rows, cols]
+
+
 def write_heatmap_txt(path: str, heat: np.ndarray) -> None:
     n = heat.shape[0]
     with open(path, "w") as f:
         f.write(f"{n}\n")
         for row in heat:
             f.write(" ".join(f"{x:.6f}" for x in row) + "\n")
+
+
+def write_heatmap_sparse_txt(
+    path: str, n: int, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray
+) -> None:
+    """COO heatmap in the solver's SPARSE format (native/mcts/tsp_mcts.cpp
+    read_heatmap): "SPARSE n nnz" then nnz "i j v" lines."""
+    with open(path, "w") as f:
+        f.write(f"SPARSE {n} {len(rows)}\n")
+        lines = [
+            f"{i} {j} {v:.8f}" for i, j, v in zip(rows, cols, vals)
+        ]
+        f.write("\n".join(lines))
+        if lines:
+            f.write("\n")
 
 
 def run_mcts(

@@ -83,18 +83,25 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
-def put_global(tree, mesh: Mesh, spec: P):
+def put_global(tree, mesh: Mesh, spec: P, local_batches: bool = False):
     """Place a host-local pytree as GLOBAL jax.Arrays on ``mesh``.
 
     Single-process: plain ``device_put``. Multi-process (a mesh spanning
-    several ``jax.distributed`` processes): every process must hold the SAME
-    full-value tree — the natural state here, since data iterators are
-    identically seeded on every rank — and each builds its address-local
-    shards via ``jax.make_array_from_process_local_data`` with
-    ``global_shape == local_shape`` (the documented same-data-everywhere
-    mode). This is the TPU-native analog of DDP's implicit per-rank batch
-    split (reference train.py:113): one logical batch, XLA sees a single
-    sharded array and inserts the gradient psum.
+    several ``jax.distributed`` processes), two data contracts:
+
+    - ``local_batches=False``: every process holds the SAME full-value tree
+      (identically-seeded data iterators) and each builds its address-local
+      shards via ``jax.make_array_from_process_local_data`` with
+      ``global_shape == local_shape`` (the documented same-data-everywhere
+      mode).
+    - ``local_batches=True``: every process holds ONLY ITS OWN rows of the
+      leading (sharded) axis; the global array is the concatenation over
+      process ranks. This is the true multihost input-pipeline mode — each
+      host reads a distinct data shard.
+
+    Either way this is the TPU-native analog of DDP's per-rank batch split
+    (reference train.py:113): one logical batch, XLA sees a single sharded
+    array and inserts the gradient psum.
     """
     ns = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
@@ -102,6 +109,9 @@ def put_global(tree, mesh: Mesh, spec: P):
 
     def put(x):
         x = np.asarray(x)
-        return jax.make_array_from_process_local_data(ns, x, x.shape)
+        gshape = x.shape
+        if local_batches:
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(ns, x, gshape)
 
     return jax.tree.map(put, tree)

@@ -81,6 +81,7 @@ class Trainer:
         eval_every: Optional[int] = None,
         log_path: Optional[str] = None,
         resume_keeper=None,
+        local_batches: bool = False,
     ):
         """Run ``total_steps`` updates; returns (params, history).
 
@@ -154,7 +155,8 @@ class Trainer:
             if self.mesh is not None:
                 from difusco_tpu.parallel.mesh import put_global
 
-                jbatch = put_global(jbatch, self.mesh, P("data"))
+                jbatch = put_global(jbatch, self.mesh, P("data"),
+                                    local_batches=local_batches)
             params, opt_state, loss = step_fn(params, opt_state, jbatch, kstep)
 
             if (step + 1) % log_every == 0 or step == total_steps - 1:

@@ -510,16 +510,50 @@ std::vector<Instance> read_instances(const std::string& path) {
   return out;
 }
 
-// Heatmap text format: first token is n, then n*n doubles. Averaged
-// symmetrization as in the reference reader (TSP_IO.h:461-492).
+// Heatmap text formats (both get the averaged symmetrization of the
+// reference reader, TSP_IO.h:461-492):
+//  - dense:  first token is n, then n*n doubles
+//  - sparse: "SPARSE n nnz" then nnz lines "i j v" (everything else 0) —
+//    at V=10000 a dense text heatmap is ~860 MB/instance, so the converter
+//    (difusco_tpu/decode/mcts.py) writes only the nonzero entries
 std::vector<double> read_heatmap(const std::string& path, int n) {
   std::ifstream f(path);
   if (!f) {
     std::cerr << "cannot open heatmap " << path << "\n";
     std::exit(2);
   }
-  int hn;
-  f >> hn;
+  std::string first;
+  f >> first;
+  if (first == "SPARSE") {
+    int hn = 0;
+    long long nnz = 0;
+    f >> hn >> nnz;
+    if (hn != n) {
+      std::cerr << "heatmap size " << hn << " != instance size " << n << "\n";
+      std::exit(2);
+    }
+    std::vector<double> hs(static_cast<size_t>(n) * n, 0.0);
+    for (long long e = 0; e < nnz; ++e) {
+      int i, j;
+      double v;
+      f >> i >> j >> v;
+      if (!f || i < 0 || i >= n || j < 0 || j >= n) {
+        std::cerr << "bad sparse heatmap entry in " << path << "\n";
+        std::exit(2);
+      }
+      hs[static_cast<size_t>(i) * n + j] = v;
+    }
+    for (int i = 0; i < n; ++i)
+      for (int j = i + 1; j < n; ++j) {
+        const double m = (hs[static_cast<size_t>(i) * n + j] +
+                          hs[static_cast<size_t>(j) * n + i]) /
+                         2.0;
+        hs[static_cast<size_t>(i) * n + j] = m;
+        hs[static_cast<size_t>(j) * n + i] = m;
+      }
+    return hs;
+  }
+  const int hn = std::stoi(first);
   if (hn != n) {
     std::cerr << "heatmap size " << hn << " != instance size " << n << "\n";
     std::exit(2);

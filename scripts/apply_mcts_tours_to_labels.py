@@ -53,8 +53,15 @@ def main():
                 total_gain += c_old - c_new
         out.append(coords + " output " +
                    " ".join(str(int(v) + 1) for v in label))
-    with open(args.split, "w") as f:
+    if len(tour_lines) < len(lines):
+        print(f"WARNING: tours file has {len(tour_lines)} lines for "
+              f"{len(lines)} instances; instances past that are unrefined")
+    # atomic replace: a crash mid-write must never truncate the committed
+    # benchmark split
+    tmp = args.split + ".tmp"
+    with open(tmp, "w") as f:
         f.write("\n".join(out) + "\n")
+    os.replace(tmp, args.split)
     print(f"improved {improved}/{len(lines)} labels, "
           f"total length gain {total_gain:.4f}")
     return 0

