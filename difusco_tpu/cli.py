@@ -44,6 +44,11 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
     p.add_argument("--test_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
     p.add_argument("--validation_examples", type=int, default=64)
+    p.add_argument("--packed_dirs", type=str, default=None,
+                   help="comma-separated pack_mis_dir outputs; overrides "
+                        "--training_split for task=mis")
+    p.add_argument("--packed_max_nodes", type=int, default=0)
+    p.add_argument("--packed_max_degree", type=int, default=0)
 
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_epochs", type=int, default=50)
@@ -136,8 +141,19 @@ def _load_datasets(cfg: Config):
     mk = lambda split, ld=None: MISDataset(
         os.path.join(cfg.storage_path, split), label_dir=ld
     )
+    if cfg.packed_dirs:
+        from difusco_tpu.data.mis import PackedMISDataset
+
+        train_ds = PackedMISDataset(
+            [os.path.join(cfg.storage_path, d)
+             for d in cfg.packed_dirs.split(",")],
+            max_nodes=cfg.packed_max_nodes or None,
+            max_degree=cfg.packed_max_degree or None,
+        )
+    else:
+        train_ds = mk(cfg.training_split, label_dir)
     return (
-        mk(cfg.training_split, label_dir),
+        train_ds,
         mk(cfg.validation_split),
         mk(cfg.test_split),
     )

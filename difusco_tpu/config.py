@@ -21,6 +21,12 @@ class Config:
     validation_split: str = "data/tsp/tsp50_test_concorde.txt"
     test_split: str = "data/tsp/tsp50_test_concorde.txt"
     validation_examples: int = 64
+    # packed MIS training set (data/mis.py pack_mis_dir): comma-separated
+    # pack dirs; overrides training_split for task=mis. The shape caps fix
+    # XLA's static shapes for still-growing sets.
+    packed_dirs: Optional[str] = None
+    packed_max_nodes: int = 0
+    packed_max_degree: int = 0
 
     # ---- optimization (reference train.py:30-35) ----
     batch_size: int = 64
@@ -82,6 +88,9 @@ class Config:
     mesh_shape: Optional[tuple] = None  # e.g. (n_data, n_sample); None = auto
     bf16: bool = False  # bfloat16 activations (fp32 params / norms)
     fused_inference: bool = True  # Pallas fused dense layer for sampling
+    # whole-network sparse megakernel (ops/pallas_gnn_mega.py): all layers
+    # in one kernel, edge stream VMEM-resident (categorical sparse, V<=1200)
+    mega_kernel: bool = True
     # (active only on the dense path with bf16/fp16 enabled)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # host input-pipeline overlap (reference --num_workers, DataLoader

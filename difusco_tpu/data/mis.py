@@ -66,6 +66,27 @@ def load_gpickle(path: str):
     return num_nodes, node_labels, edges.T
 
 
+def _pad_example(n, labels, edges, max_nodes, max_degree):
+    """COO bidir+self-loop edges -> the padded fixed-degree example dict."""
+    nbrs, mask = graph_to_fixed_degree(edges, n, max_degree)
+    V = max_nodes
+    out_labels = np.zeros(V, np.float32)
+    out_labels[:n] = labels
+    out_nbrs = np.zeros((V, max_degree), np.int32)
+    out_nbrs[:n] = nbrs
+    out_mask = np.zeros((V, max_degree), np.float32)
+    out_mask[:n] = mask
+    node_mask = np.zeros(V, np.float32)
+    node_mask[:n] = 1.0
+    return {
+        "labels": out_labels,
+        "neighbors": out_nbrs,
+        "mask": out_mask,
+        "node_mask": node_mask,
+        "num_nodes": np.int32(n),
+    }
+
+
 @dataclasses.dataclass
 class MISDataset:
     """MIS dataset over a glob of .gpickle graphs.
@@ -118,23 +139,7 @@ class MISDataset:
             assert labels.shape[0] == n
         if labels is None:
             labels = np.zeros(n, np.int64)
-        nbrs, mask = graph_to_fixed_degree(edges, n, self.max_degree)
-        V = self.max_nodes
-        out_labels = np.zeros(V, np.float32)
-        out_labels[:n] = labels
-        out_nbrs = np.zeros((V, self.max_degree), np.int32)
-        out_nbrs[:n] = nbrs
-        out_mask = np.zeros((V, self.max_degree), np.float32)
-        out_mask[:n] = mask
-        node_mask = np.zeros(V, np.float32)
-        node_mask[:n] = 1.0
-        ex = {
-            "labels": out_labels,
-            "neighbors": out_nbrs,
-            "mask": out_mask,
-            "node_mask": node_mask,
-            "num_nodes": np.int32(n),
-        }
+        ex = _pad_example(n, labels, edges, self.max_nodes, self.max_degree)
         self._cache[idx] = ex
         return ex
 
@@ -162,3 +167,145 @@ class MISDataset:
                     k: np.stack([ex[k] for ex in examples]) for k in examples[0]
                 }
             epoch += 1
+
+
+# -- packed format: reference-scale training sets ---------------------------
+#
+# MISDataset eagerly unpickles every networkx graph and holds both the raw
+# edge lists and the converted padded examples in RAM — right for the
+# reference-sized test splits, but a 30k-graph ER-[700-800] training set
+# would cost ~40 min of startup unpickling and tens of GB of residency.
+# The packed format converts a labeled gpickle directory ONCE into flat
+# memory-mapped chunk arrays; PackedMISDataset then builds each padded
+# example on the fly from an mmap slice (~5 ms), so startup is instant and
+# residency is the OS page cache's problem. This is the TPU-native analog
+# of the reference's DataLoader-with-workers scaling path
+# (difusco/co_datasets/mis_dataset.py + pl_meta_model.py:186-192).
+
+
+def pack_mis_dir(data_glob: str, label_dir: str, out_dir: str,
+                 chunk: int = 1024, require_labels: bool = True) -> int:
+    """Pack labeled graphs into chunked .npy arrays under ``out_dir``.
+
+    Per chunk j: edges_{j}.npy (E,2) int32 undirected COO, eoff_{j}.npy
+    int64 (n+1), labels_{j}.npy int8, noff_{j}.npy int64 (n+1), and
+    stats_{j}.json with that chunk's max_nodes / max_degree (degree
+    counted as MISDataset does: bidirectional + self-loop). Resumable —
+    complete chunks (stats file present) are skipped; only graphs whose
+    label file exists are packed, so it can run incrementally behind a
+    labeling pipeline. Returns the number of graphs packed in total."""
+    import json
+
+    files = sorted(glob.glob(data_glob))
+    os.makedirs(out_dir, exist_ok=True)
+    labeled = []
+    for f in files:
+        base = os.path.basename(f)
+        if base.endswith(".gz"):
+            base = base[: -len(".gz")]
+        lab = os.path.join(label_dir, base.replace(".gpickle",
+                                                   "_unweighted.result"))
+        if os.path.exists(lab):
+            labeled.append((f, lab))
+        elif require_labels:
+            break  # keep chunk->graph mapping stable: stop at first gap
+    total = 0
+    for j in range(len(labeled) // chunk + (len(labeled) % chunk > 0)):
+        part = labeled[j * chunk : (j + 1) * chunk]
+        if len(part) < chunk and len(labeled) < len(files):
+            break  # dir still growing: don't freeze a partial trailing
+            # chunk — its chunk->graph mapping would drop later arrivals
+        stats_p = os.path.join(out_dir, f"stats_{j:05d}.json")
+        if os.path.exists(stats_p):
+            with open(stats_p) as f:
+                total += json.load(f)["n"]
+            continue
+        all_edges, eoff = [], [0]
+        all_labels, noff = [], [0]
+        max_nodes = max_degree = 0
+        for gp, lp in part:
+            n, _, edges = load_gpickle(gp)
+            with open(lp) as f:
+                labels = np.array([int(x) for x in f.read().split()], np.int8)
+            assert labels.shape[0] == n, (gp, labels.shape, n)
+            deg = np.bincount(edges[0], minlength=n)
+            max_nodes = max(max_nodes, n)
+            max_degree = max(max_degree, int(deg.max()) if n else 0)
+            # store undirected edges only; get() rebuilds bidir + self-loops
+            und = edges.T[: (edges.shape[1] - n) // 2]
+            all_edges.append(und.astype(np.int32))
+            eoff.append(eoff[-1] + len(und))
+            all_labels.append(labels)
+            noff.append(noff[-1] + n)
+        np.save(os.path.join(out_dir, f"edges_{j:05d}.npy"),
+                np.concatenate(all_edges) if all_edges else
+                np.zeros((0, 2), np.int32))
+        np.save(os.path.join(out_dir, f"eoff_{j:05d}.npy"),
+                np.asarray(eoff, np.int64))
+        np.save(os.path.join(out_dir, f"labels_{j:05d}.npy"),
+                np.concatenate(all_labels) if all_labels else
+                np.zeros((0,), np.int8))
+        np.save(os.path.join(out_dir, f"noff_{j:05d}.npy"),
+                np.asarray(noff, np.int64))
+        tmp = stats_p + ".tmp"
+        with open(tmp, "w") as f:  # stats file last = chunk-complete marker
+            json.dump({"n": len(part), "max_nodes": max_nodes,
+                       "max_degree": max_degree}, f)
+        os.replace(tmp, stats_p)
+        total += len(part)
+    return total
+
+
+class PackedMISDataset:
+    """Lazy dataset over one or more packed directories (``pack_mis_dir``).
+
+    ``max_nodes`` / ``max_degree`` fix the padded static shapes; pass them
+    explicitly for a still-growing training set so XLA never sees a new
+    shape as data arrives (defaults: the max over all packed chunks)."""
+
+    def __init__(self, pack_dirs, max_nodes: Optional[int] = None,
+                 max_degree: Optional[int] = None):
+        import json
+
+        if isinstance(pack_dirs, str):
+            pack_dirs = [pack_dirs]
+        self._chunks = []  # (edges, eoff, labels, noff, n)
+        stat_nodes = stat_deg = 0
+        for d in pack_dirs:
+            for sp in sorted(glob.glob(os.path.join(d, "stats_*.json"))):
+                j = os.path.basename(sp)[len("stats_"):-len(".json")]
+                with open(sp) as f:
+                    st = json.load(f)
+                self._chunks.append((
+                    np.load(os.path.join(d, f"edges_{j}.npy"), mmap_mode="r"),
+                    np.load(os.path.join(d, f"eoff_{j}.npy")),
+                    np.load(os.path.join(d, f"labels_{j}.npy"), mmap_mode="r"),
+                    np.load(os.path.join(d, f"noff_{j}.npy")),
+                    st["n"],
+                ))
+                stat_nodes = max(stat_nodes, st["max_nodes"])
+                stat_deg = max(stat_deg, st["max_degree"])
+        if not self._chunks:
+            raise ValueError(f"no packed chunks under {pack_dirs!r}")
+        self._starts = np.cumsum([0] + [c[4] for c in self._chunks])
+        self.max_nodes = max_nodes or stat_nodes
+        self.max_degree = max_degree or stat_deg
+        assert self.max_nodes >= stat_nodes, (self.max_nodes, stat_nodes)
+        assert self.max_degree >= stat_deg, (self.max_degree, stat_deg)
+
+    def __len__(self) -> int:
+        return int(self._starts[-1])
+
+    def get(self, idx: int) -> dict:
+        c = int(np.searchsorted(self._starts, idx, side="right")) - 1
+        loc = idx - int(self._starts[c])
+        edges, eoff, labels, noff, _ = self._chunks[c]
+        e = np.asarray(edges[eoff[loc]:eoff[loc + 1]], np.int64)
+        lab = np.asarray(labels[noff[loc]:noff[loc + 1]], np.int64)
+        n = len(lab)
+        bidir = np.concatenate([e, e[:, ::-1]], axis=0)
+        self_loop = np.arange(n).reshape(-1, 1).repeat(2, axis=1)
+        coo = np.concatenate([bidir, self_loop], axis=0).T
+        return _pad_example(n, lab, coo, self.max_nodes, self.max_degree)
+
+    batches = MISDataset.batches

@@ -1,0 +1,253 @@
+"""Whole-network fused Pallas kernel for the sparse GatedGCN denoiser.
+
+The per-layer fused kernel (ops/pallas_gnn_sparse.py) reads and writes the
+(S, V, K, H) edge stream from HBM once per layer: at TSP-500 S=4 that is
+~102 MB x 12 layers ~= 1.2 GB per denoise step, and the measured step sits
+at ~60% of that memory-bound floor (data/ROOFLINE.md). This kernel runs
+ALL layers for one sample inside a single kernel invocation with the edge
+stream resident in VMEM (V=500, K=50, H=256: 13 MB of the ~128 MB VMEM),
+so per step the HBM traffic drops to the binary xt input, one read of the
+stacked layer weights, and one write of the final edge features — the
+12-layer round-trips disappear.
+
+Scope: the flagship sparse-TSP *categorical sampling* path — xt binary in
+{0,1} (the r3 two-row-table edge embedding), sum aggregation,
+time-on-edges. The out head (GroupNorm32 + ReLU + Dense) stays in XLA:
+with out_channels=2 its traffic is one bf16 read of e_out. Whole-graph
+VMEM residency bounds V at roughly 1500 for K=50.
+
+Numerics mirror sparse_forward_fused (ops/pallas_gnn_sparse.py:299) /
+models/gnn.py exactly: bf16 matmuls, f32 accumulation and norms.
+Reference semantics: gnn_encoder.py:94-142 sparse branch. Inference only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+f32 = jnp.float32
+bf16 = jnp.bfloat16
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
+    """One sample per grid step; all L layers in-kernel.
+
+    TI: node rows per inner chunk (TI*K edge rows per chunk matmul)."""
+    n_chunks = Vp // TI
+
+    def kernel(
+        xt_ref,      # (1, Vp, K) f32   binary edge state
+        nbr_ref,     # (1, Vp, K) int32
+        x0_ref,      # (1, Vp, H) f32   embedded node features
+        tab_ref,     # (2, H) bf16      two-row edge-embed table
+        tvec_ref,    # (L, 1, H) bf16   per-layer time vectors
+        wa_ref, ba_ref,    # (L, H, H) bf16 / (L, 1, H) f32   conv A
+        wv_ref, bv_ref,    # conv V
+        wb_ref, bb_ref,    # conv B
+        wu_ref, bu_ref,    # conv U
+        wc_ref, bc_ref,    # conv C
+        wo_ref, bo_ref,    # out projection
+        lne_s_ref, lne_b_ref,  # (L, 1, H) f32  norm_e
+        ln2_s_ref, ln2_b_ref,  # out LayerNorm
+        nh_s_ref, nh_b_ref,    # norm_h
+        eout_ref,    # (1, Vp, K, H) bf16
+        x_scr,       # (Vp, H) f32
+        e_scr,       # (Vp * K, H) bf16
+        agg_scr,     # (Vp, H) f32
+        ha_scr,      # (Vp, H) bf16
+        hv_scr,      # (Vp, H) bf16
+        bh_scr,      # (Vp, H) f32
+    ):
+        mm = lambda a, w: jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        # ---- edge embedding: two-row table select on binary xt ----------
+        tab0 = tab_ref[0, :].astype(f32)
+        tab1 = tab_ref[1, :].astype(f32)
+        for c in range(n_chunks):
+            xt = xt_ref[0, pl.ds(c * TI, TI)]           # (TI, K)
+            sel = (xt > 0.5).astype(f32).reshape(TI * K, 1)
+            e0 = sel * tab1[None, :] + (1.0 - sel) * tab0[None, :]
+            e_scr[pl.ds(c * TI * K, TI * K)] = e0.astype(bf16)
+
+        x_scr[...] = x0_ref[0]
+
+        # ---- L GatedGCN layers ------------------------------------------
+        for l in range(L):
+            xb = x_scr[...].astype(bf16)
+            ha_scr[...] = (mm(xb, wa_ref[l]) + ba_ref[l]).astype(bf16)
+            hv_scr[...] = (mm(xb, wv_ref[l]) + bv_ref[l]).astype(bf16)
+            bh_scr[...] = mm(xb, wb_ref[l]) + bb_ref[l]
+            tvec = tvec_ref[l, 0, :].astype(f32)
+
+            for c in range(n_chunks):
+                rows = pl.ds(c * TI, TI)
+                erows = pl.ds(c * TI * K, TI * K)
+                idx = nbr_ref[0, rows]                   # (TI, K)
+                iota_v = jax.lax.broadcasted_iota(jnp.int32, (TI, K, Vp), 2)
+                oh = (iota_v == idx[:, :, None]).astype(bf16)
+                oh2 = oh.reshape(TI * K, Vp)
+                hn_a = mm(oh2, ha_scr[...])              # (TI*K, H) f32
+                hn_v = mm(oh2, hv_scr[...])
+
+                eblk = e_scr[erows]                      # (TI*K, H) bf16
+                ce = mm(eblk, wc_ref[l]) + bc_ref[l]
+                bh_e = jnp.repeat(bh_scr[rows], K, axis=0)
+                e_new = ce + hn_a + bh_e
+
+                gates = jax.nn.sigmoid(e_new)
+                gv = (gates * hn_v).reshape(TI, K, H)
+                agg_scr[rows] = jnp.sum(gv, axis=1)
+
+                mu = jnp.mean(e_new, -1, keepdims=True)
+                var = jnp.mean(jnp.square(e_new - mu), -1, keepdims=True)
+                e_ln = (e_new - mu) * jax.lax.rsqrt(var + 1e-6)
+                e_ln = e_ln * lne_s_ref[l] + lne_b_ref[l]
+                e_mid = jax.nn.relu(e_ln) + tvec[None, :]
+
+                mu2 = jnp.mean(e_mid, -1, keepdims=True)
+                var2 = jnp.mean(jnp.square(e_mid - mu2), -1, keepdims=True)
+                e2 = (e_mid - mu2) * jax.lax.rsqrt(var2 + 1e-6)
+                e2 = e2 * ln2_s_ref[l] + ln2_b_ref[l]
+                e2 = e2 * jax.nn.sigmoid(e2)
+
+                proj = mm(e2.astype(bf16), wo_ref[l]) + bo_ref[l]
+                e_scr[erows] = (eblk.astype(f32) + proj).astype(bf16)
+
+            # node update: x += relu(LN(U x + agg))
+            uh = mm(x_scr[...].astype(bf16), wu_ref[l]) + bu_ref[l]
+            v = uh + agg_scr[...]
+            mu = jnp.mean(v, -1, keepdims=True)
+            var = jnp.mean(jnp.square(v - mu), -1, keepdims=True)
+            vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
+            vn = vn * nh_s_ref[l] + nh_b_ref[l]
+            x_scr[...] = x_scr[...] + jax.nn.relu(vn)
+
+        eout_ref[0] = e_scr[...].reshape(Vp, K, H)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "hidden_dim", "out_channels",
+                              "interpret"))
+def sparse_forward_mega(params, t, xt, points, neighbors,
+                        n_layers: int, hidden_dim: int, out_channels: int,
+                        interpret: bool = False):
+    """Whole-network fused forward. Same contract as sparse_forward_fused
+    with xt_binary=True: xt (S, V, K) in {0,1}; returns (S, V, K, out)."""
+    from difusco_tpu.models import embeddings as emb
+
+    p = params["params"]
+    H = hidden_dim
+    L = n_layers
+    S, V, K = xt.shape
+    Vp = _round_up(V, 128)
+    pad_n = Vp - V
+
+    def dense(px, x):
+        return (jnp.dot(x.astype(bf16), px["kernel"].astype(bf16),
+                        preferred_element_type=f32) + px["bias"])
+
+    x = dense(p["node_embed"], emb.position_embedding_sine(points, H))
+    tab = dense(p["edge_embed"], emb.scalar_embedding_sine(
+        jnp.asarray([0.0, 1.0], f32), H)).astype(bf16)          # (2, H)
+
+    temb = emb.timestep_embedding(t, H)
+    temb = dense(p["time_embed_2"], jax.nn.relu(dense(p["time_embed_1"], temb)))
+    # t is shared across the sample axis in the denoise scan, so row 0
+    # stands for all samples
+    tvecs = jnp.stack([
+        dense(p[f"layer_{l}"]["time"]["Dense_0"], jax.nn.relu(temb))[:1]
+        for l in range(L)
+    ])                                                           # (L, 1, H)
+
+    nbrs = neighbors.astype(jnp.int32)
+    xtp = xt.astype(f32)
+    if x.ndim == 2:
+        x = x[None]
+    if pad_n:
+        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+        nbrs = jnp.pad(nbrs, ((0, 0), (0, pad_n), (0, 0)))
+        xtp = jnp.pad(xtp, ((0, 0), (0, pad_n), (0, 0)))
+    if x.shape[0] == 1 and S > 1:
+        x = jnp.broadcast_to(x, (S, Vp, H))
+    if nbrs.shape[0] == 1 and S > 1:
+        nbrs = jnp.broadcast_to(nbrs, (S, Vp, K))
+
+    def stack(getter, cast):
+        return jnp.stack([cast(getter(p[f"layer_{l}"])) for l in range(L)])
+
+    k_of = lambda name: (lambda lp: lp["conv"][name]["kernel"])
+    b_of = lambda name: (lambda lp: lp["conv"][name]["bias"])
+    wcast = lambda a: a.astype(bf16)
+    bcast = lambda a: a.astype(f32).reshape(1, -1)
+
+    args = [
+        xtp, nbrs, x.astype(f32), tab, tvecs.astype(bf16),
+        stack(k_of("A"), wcast), stack(b_of("A"), bcast),
+        stack(k_of("V"), wcast), stack(b_of("V"), bcast),
+        stack(k_of("B"), wcast), stack(b_of("B"), bcast),
+        stack(k_of("U"), wcast), stack(b_of("U"), bcast),
+        stack(k_of("C"), wcast), stack(b_of("C"), bcast),
+        stack(lambda lp: lp["out"]["Dense_0"]["kernel"], wcast),
+        stack(lambda lp: lp["out"]["Dense_0"]["bias"], bcast),
+        stack(lambda lp: lp["conv"]["norm_e"]["scale"], bcast),
+        stack(lambda lp: lp["conv"]["norm_e"]["bias"], bcast),
+        stack(lambda lp: lp["out"]["LayerNorm_0"]["scale"], bcast),
+        stack(lambda lp: lp["out"]["LayerNorm_0"]["bias"], bcast),
+        stack(lambda lp: lp["conv"]["norm_h"]["scale"], bcast),
+        stack(lambda lp: lp["conv"]["norm_h"]["bias"], bcast),
+    ]
+
+    TI = 16 if Vp % 16 == 0 else 8
+    kernel = _make_mega_kernel(L, Vp, K, H, TI)
+
+    lhh = pl.BlockSpec((L, H, H), lambda s: (0, 0, 0))
+    l1h = pl.BlockSpec((L, 1, H), lambda s: (0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, Vp, K), lambda s: (s, 0, 0)),    # xt
+        pl.BlockSpec((1, Vp, K), lambda s: (s, 0, 0)),    # nbr
+        pl.BlockSpec((1, Vp, H), lambda s: (s, 0, 0)),    # x0
+        pl.BlockSpec((2, H), lambda s: (0, 0)),           # tab
+        l1h,                                              # tvecs
+    ] + [lhh, l1h] * 6 + [l1h] * 6
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    scratch = [
+        pltpu.VMEM((Vp, H), f32),        # x_scr
+        pltpu.VMEM((Vp * K, H), bf16),   # e_scr
+        pltpu.VMEM((Vp, H), f32),        # agg_scr
+        pltpu.VMEM((Vp, H), bf16),       # ha_scr
+        pltpu.VMEM((Vp, H), bf16),       # hv_scr
+        pltpu.VMEM((Vp, H), f32),        # bh_scr
+    ]
+    e = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Vp, K, H), lambda s: (s, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, Vp, K, H), bf16),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    # out head (GroupNorm32 + ReLU + Dense) in XLA — one bf16 read of e
+    hp = p["out_head"]
+    ef = e[:, :V].astype(f32)
+    g = ef.reshape(S, V, K, 32, H // 32)
+    mu = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(g - mu), axis=(1, 2, 4), keepdims=True)
+    g = ((g - mu) * jax.lax.rsqrt(var + 1e-6)).reshape(S, V, K, H)
+    g = g * hp["GroupNorm_0"]["scale"] + hp["GroupNorm_0"]["bias"]
+    g = jax.nn.relu(g)
+    return jnp.dot(g, hp["Dense_0"]["kernel"]) + hp["Dense_0"]["bias"]

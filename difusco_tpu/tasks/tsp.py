@@ -166,10 +166,29 @@ class TSPTask:
             and jax.default_backend() != "cpu"
         )
         sparse_variant = "onehot" if V <= 1200 else "gathered"
+        # whole-network megakernel (ops/pallas_gnn_mega.py): all layers in
+        # one kernel with the edge stream VMEM-resident — needs binary xt
+        # (the categorical sampling path) and whole-graph VMEM residency
+        use_mega = (
+            use_fused_sparse
+            and getattr(cfg, "mega_kernel", True)
+            and cfg.diffusion_type == "categorical"
+            and V <= 1200
+        )
 
         def apply(t_scalar, xt, xt_binary=False):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
             if self.sparse:
+                if use_mega and xt_binary:
+                    from difusco_tpu.ops.pallas_gnn_mega import (
+                        sparse_forward_mega)
+
+                    return sparse_forward_mega(
+                        params, t_vec, xt, pts, nbrs,
+                        n_layers=cfg.n_layers,
+                        hidden_dim=cfg.hidden_dim,
+                        out_channels=cfg.out_channels,
+                    )
                 if use_fused_sparse:
                     from difusco_tpu.ops.pallas_gnn_sparse import sparse_forward_fused
 

@@ -157,3 +157,97 @@ class TestSparsifier:
         np.testing.assert_allclose(sp.sum(1), 1.0, atol=1e-6)
         # every node keeps at least its top-3 edges (plus symmetrized ones)
         assert ((sp > 0).sum(1) >= 3).all()
+
+
+class TestSparseHeatmapFormat:
+    def test_sparsify_large_matches_dense(self):
+        from difusco_tpu.decode.mcts import (sparsify_heatmap,
+                                             sparsify_heatmap_large)
+
+        rng = np.random.default_rng(5)
+        n = 80
+        heat = rng.random((n, n))
+        pts = rng.random((n, 2))
+        a = sparsify_heatmap(heat, pts, 0.03)
+        r, c, v = sparsify_heatmap_large(
+            heat.astype(np.float32), pts.astype(np.float32), 0.03)
+        b = np.zeros((n, n))
+        b[r, c] = v
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_sparse_txt_equals_dense_through_solver(self, tmp_path):
+        """The SPARSE text format (added for V=10000, where a dense heatmap
+        file is ~860 MB) must produce the identical solver result."""
+        from difusco_tpu.data.generate_tsp import generate
+        from difusco_tpu.data.tsp import write_tsp_file
+        from difusco_tpu.decode.mcts import (run_mcts, sparsify_heatmap,
+                                             sparsify_heatmap_large,
+                                             write_heatmap_sparse_txt,
+                                             write_heatmap_txt)
+
+        instances = generate(num_samples=1, num_nodes=25, seed=3)
+        inst_path = str(tmp_path / "tsp25.txt")
+        write_tsp_file(inst_path, instances)
+        pts, tour = instances[0]
+        rng = np.random.default_rng(1)
+        heat = rng.random((25, 25)) * 0.2
+        heat[tour[:-1], tour[1:]] += 0.8
+        write_heatmap_txt(str(tmp_path / "hd_0.txt"),
+                          sparsify_heatmap(heat, pts, 0.05))
+        r, c, v = sparsify_heatmap_large(
+            heat.astype(np.float32), pts.astype(np.float32), 0.05)
+        write_heatmap_sparse_txt(str(tmp_path / "hs_0.txt"), 25, r, c, v)
+        tours = {}
+        for tag in ("hd", "hs"):
+            run_mcts(inst_path, str(tmp_path / (tag + "_{i}.txt")),
+                     str(tmp_path / f"st_{tag}.txt"), time_per_city=0.01,
+                     threads=1, tours_path=str(tmp_path / f"t_{tag}.txt"))
+            tours[tag] = open(tmp_path / f"t_{tag}.txt").read().split()
+        assert tours["hd"] == tours["hs"]
+
+
+class TestBnBProver:
+    """native/bnb/tsp_bnb.cpp: exact B&B over the Held-Karp bound."""
+
+    BNB = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "build", "tsp_bnb")
+
+    def _run(self, path):
+        import subprocess
+
+        p = subprocess.run([self.BNB, path, "--threads", "1"],
+                           capture_output=True, text=True, check=True)
+        return p.stdout
+
+    def test_convex_polygon_label_proven_optimal(self, tmp_path):
+        # points in convex position: the unique optimal tour is hull order
+        n = 12
+        ang = np.sort(np.random.default_rng(0).uniform(0, 2 * np.pi, n))
+        pts = 0.5 + 0.45 * np.stack([np.cos(ang), np.sin(ang)], 1)
+        line = (" ".join(f"{x:.6f} {y:.6f}" for x, y in pts) + " output " +
+                " ".join(str(i + 1) for i in list(range(n)) + [0]))
+        f = tmp_path / "hull.txt"
+        f.write_text(line + "\n")
+        out = self._run(str(f))
+        assert "inst 0 OPTIMAL" in out
+
+    def test_bad_label_improved_to_hull_order(self, tmp_path):
+        n = 12
+        ang = np.sort(np.random.default_rng(0).uniform(0, 2 * np.pi, n))
+        pts = 0.5 + 0.45 * np.stack([np.cos(ang), np.sin(ang)], 1)
+        perm = np.random.default_rng(1).permutation(n)
+        line = (" ".join(f"{x:.6f} {y:.6f}" for x, y in pts) + " output " +
+                " ".join(str(i + 1) for i in list(perm) + [perm[0]]))
+        f = tmp_path / "bad.txt"
+        f.write_text(line + "\n")
+        out = self._run(str(f))
+        assert "inst 0 IMPROVED" in out
+        toks = out.splitlines()[0].split()
+        tour = [int(x) for x in toks[toks.index("tour") + 1:]]
+        # the proven-optimal tour must be the hull order (up to rotation
+        # and reflection)
+        t = tour[:-1]
+        k = t.index(0)
+        rot = t[k:] + t[:k]
+        assert rot == list(range(n)) or [rot[0]] + rot[1:][::-1] == list(
+            range(n))

@@ -1,0 +1,81 @@
+"""Packed MIS dataset: pack_mis_dir + PackedMISDataset must reproduce
+MISDataset's padded examples exactly (same graphs, same labels, same static
+shapes) — the packed path exists so reference-scale training sets
+(reproducing_scripts.md:340-368 trains on 163k ER graphs) load lazily
+instead of residing in RAM."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from difusco_tpu.data.mis import MISDataset, PackedMISDataset, pack_mis_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VAL_GLOB = os.path.join(REPO, "data", "mis_er700800_val", "*.gpickle*")
+VAL_LABELS = os.path.join(REPO, "data", "mis_er700800_val_labels")
+
+
+@pytest.fixture(scope="module")
+def packed_dir(tmp_path_factory):
+    if not glob.glob(VAL_GLOB):
+        pytest.skip("no val graphs committed")
+    d = str(tmp_path_factory.mktemp("pack"))
+    n = pack_mis_dir(VAL_GLOB, VAL_LABELS, d, chunk=6)
+    assert n == len(glob.glob(VAL_GLOB))
+    return d
+
+
+class TestPackedParity:
+    def test_examples_match_misdataset(self, packed_dir):
+        ref = MISDataset(VAL_GLOB, label_dir=VAL_LABELS)
+        ds = PackedMISDataset(packed_dir, max_nodes=ref.max_nodes,
+                              max_degree=ref.max_degree)
+        assert len(ds) == len(ref)
+        for i in range(len(ds)):
+            a, b = ds.get(i), ref.get(i)
+            for k in ("labels", "neighbors", "mask", "node_mask"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{i}/{k}")
+            assert a["num_nodes"] == b["num_nodes"]
+
+    def test_stats_match(self, packed_dir):
+        ref = MISDataset(VAL_GLOB, label_dir=VAL_LABELS)
+        ds = PackedMISDataset(packed_dir)
+        assert ds.max_nodes == ref.max_nodes
+        assert ds.max_degree == ref.max_degree
+
+    def test_batches_shapes(self, packed_dir):
+        ds = PackedMISDataset(packed_dir, max_nodes=800, max_degree=180)
+        b = next(iter(ds.batches(4, seed=0)))
+        assert b["labels"].shape == (4, 800)
+        assert b["neighbors"].shape == (4, 800, 180)
+
+    def test_pack_resumes_and_skips_complete_chunks(self, packed_dir,
+                                                    tmp_path):
+        # re-running over the same dir packs nothing new but reports all
+        n1 = pack_mis_dir(VAL_GLOB, VAL_LABELS, packed_dir, chunk=6)
+        assert n1 == len(glob.glob(VAL_GLOB))
+
+    def test_partial_chunk_not_frozen_while_growing(self, tmp_path):
+        # copy 3 graphs + labels for only 2 of them: with chunk=2 the packer
+        # must write one full chunk and leave the partial tail unpacked
+        import shutil
+
+        files = sorted(glob.glob(VAL_GLOB))[:3]
+        if len(files) < 3:
+            pytest.skip("need 3 val graphs")
+        gdir = tmp_path / "g"
+        ldir = tmp_path / "l"
+        gdir.mkdir()
+        ldir.mkdir()
+        for i, f in enumerate(files):
+            base = os.path.basename(f)
+            shutil.copy(f, gdir / base)
+            if i < 2:
+                stem = base[: -len(".gz")] if base.endswith(".gz") else base
+                stem = stem.replace(".gpickle", "_unweighted.result")
+                shutil.copy(os.path.join(VAL_LABELS, stem), ldir / stem)
+        out = str(tmp_path / "pack")
+        n = pack_mis_dir(str(gdir / "*.gpickle*"), str(ldir), out, chunk=2)
+        assert n == 2  # full chunk packed, partial tail deferred
