@@ -125,15 +125,30 @@ def bench_sampling(n_warmup=1, n_iters=5, V=50, S=32, steps=50):
     params = task.init_params(jax.random.PRNGKey(0), batch)
 
     key = jax.random.PRNGKey(1)
-    heat = task.sample(params, pts, key, S)
-    heat.block_until_ready()  # compile
+    # AOT path: load a pre-serialized executable (data/aot/, generated by
+    # scripts/bench_mega.py) instead of re-paying the ~4-min compile the
+    # remote backend charges every process (VERDICT r3 item 6). Fallback to
+    # the plain jit on any mismatch.
+    sample = lambda p, x, k: task.sample(p, x, k, S)
+    if os.environ.get("BENCH_AOT", "1") != "0":
+        try:
+            from difusco_tpu.utils.aot_cache import aot_load_or_compile
+
+            compiled = aot_load_or_compile(
+                task.sample, "flagship_dense_V50_S32", (params, pts, key, S))
+            compiled(params, pts, key)  # smoke the calling convention
+            sample = compiled
+        except Exception as e:
+            print(f"bench aot fallback ({type(e).__name__}: {e})")
+    heat = sample(params, pts, key)
+    heat.block_until_ready()  # compile or AOT load
     for _ in range(n_warmup):
-        heat = task.sample(params, pts, key, S)
+        heat = sample(params, pts, key)
         heat.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(n_iters):
-        heat = task.sample(params, pts, jax.random.fold_in(key, i), S)
+        heat = sample(params, pts, jax.random.fold_in(key, i))
         heat.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
     samples_per_sec = S / dt

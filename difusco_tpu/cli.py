@@ -44,6 +44,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
     p.add_argument("--test_split", type=str, default="data/tsp/tsp50_test_concorde.txt")
     p.add_argument("--validation_examples", type=int, default=64)
+    p.add_argument("--eval_every_steps", type=int, default=0)
     p.add_argument("--packed_dirs", type=str, default=None,
                    help="comma-separated pack_mis_dir outputs; overrides "
                         "--training_split for task=mis")
@@ -282,7 +283,7 @@ def run(cfg: Config) -> dict:
             seed=cfg.seed,
             log_every=cfg.log_every,
             eval_fn=eval_hook,
-            eval_every=steps_per_epoch,
+            eval_every=cfg.eval_every_steps or steps_per_epoch,
             log_path=os.path.join(run_dir, "train.jsonl"),
             resume_keeper=resume_keeper,
         )

@@ -100,6 +100,10 @@ class Config:
     log_every: int = 50
     ckpt_every_epochs: int = 1
     ckpt_top_k: int = 3
+    # validation/checkpoint cadence in steps; 0 = once per epoch (the
+    # reference's check_val_every_n_epoch=1). Long-epoch runs (30k-graph
+    # packed sets) set this so an interrupted run loses minutes, not an epoch
+    eval_every_steps: int = 0
 
     @property
     def sparse(self) -> bool:

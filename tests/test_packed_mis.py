@@ -79,3 +79,47 @@ class TestPackedParity:
         out = str(tmp_path / "pack")
         n = pack_mis_dir(str(gdir / "*.gpickle*"), str(ldir), out, chunk=2)
         assert n == 2  # full chunk packed, partial tail deferred
+
+
+class TestPackedCLITraining:
+    def test_cli_trains_from_packed_dirs(self, tmp_path):
+        """End-to-end: generate tiny ER graphs -> label -> pack -> train 1
+        epoch through the CLI --packed_dirs surface."""
+        import subprocess
+        import sys
+
+        from difusco_tpu.cli import arg_parser, config_from_args, run
+        from difusco_tpu.data.generate_mis import main as gen_main
+
+        gdir = tmp_path / "graphs"
+        gen_main(["gendata", "--model", "er", "--num_graphs", "12",
+                  "--min_n", "12", "--max_n", "16", "--er_p", "0.3",
+                  "--output_dir", str(gdir), "--seed", "0"])
+        ldir = tmp_path / "labels"
+        subprocess.run(
+            [sys.executable, "-m", "difusco_tpu.data.mis_solvers", "solve",
+             "--input", str(gdir / "*.gpickle"), "--output", str(ldir),
+             "--solver", "greedy", "--workers", "1"],
+            check=True, capture_output=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PALLAS_AXON_POOL_IPS": ""},
+        )
+        pdir = tmp_path / "pack"
+        n = pack_mis_dir(str(gdir / "*.gpickle"), str(ldir), str(pdir),
+                         chunk=8)
+        assert n == 12
+
+        args = arg_parser().parse_args([
+            "--task", "mis", "--do_train",
+            "--storage_path", str(tmp_path),
+            "--packed_dirs", str(pdir),
+            "--validation_split", str(gdir / "*.gpickle"),
+            "--test_split", str(gdir / "*.gpickle"),
+            "--diffusion_type", "gaussian",
+            "--diffusion_steps", "20", "--inference_diffusion_steps", "2",
+            "--n_layers", "2", "--hidden_dim", "32", "--batch_size", "4",
+            "--num_epochs", "1", "--validation_examples", "2",
+            "--logger_name", "packtest",
+        ])
+        metrics = run(config_from_args(args))
+        assert np.isfinite(metrics.get("val/solved_cost", np.nan))
