@@ -70,13 +70,20 @@ def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
             a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
         # ---- edge embedding: two-row table select on binary xt ----------
+        # chunk loops are lax.fori_loops with dynamic ROW slices (the lane
+        # dim stays static) so Mosaic compiles ONE chunk body per site
+        # instead of n_chunks unrolled copies (32-64 at V=500-1000)
         tab0 = tab_ref[0, :].astype(f32)
         tab1 = tab_ref[1, :].astype(f32)
-        for c in range(n_chunks):
+
+        def embed_chunk(c, _):
             xt = xt_ref[0, pl.ds(c * TI, TI)]           # (TI, K)
             sel = (xt > 0.5).astype(f32).reshape(TI * K, 1)
             e0 = sel * tab1[None, :] + (1.0 - sel) * tab0[None, :]
             e_scr[pl.ds(c * TI * K, TI * K)] = e0.astype(bf16)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, embed_chunk, 0)
 
         x_scr[...] = x0_ref[0]
 
@@ -87,8 +94,16 @@ def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
             hv_scr[...] = (mm(xb, wv_ref[l]) + bv_ref[l]).astype(bf16)
             bh_scr[...] = mm(xb, wb_ref[l]) + bb_ref[l]
             tvec = tvec_ref[l, 0, :].astype(f32)
+            wc_l = wc_ref[l]
+            bc_l = bc_ref[l]
+            wo_l = wo_ref[l]
+            bo_l = bo_ref[l]
+            lne_s = lne_s_ref[l]
+            lne_b = lne_b_ref[l]
+            ln2_s = ln2_s_ref[l]
+            ln2_b = ln2_b_ref[l]
 
-            for c in range(n_chunks):
+            def layer_chunk(c, _):
                 rows = pl.ds(c * TI, TI)
                 erows = pl.ds(c * TI * K, TI * K)
                 idx = nbr_ref[0, rows]                   # (TI, K)
@@ -99,7 +114,7 @@ def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
                 hn_v = mm(oh2, hv_scr[...])
 
                 eblk = e_scr[erows]                      # (TI*K, H) bf16
-                ce = mm(eblk, wc_ref[l]) + bc_ref[l]
+                ce = mm(eblk, wc_l) + bc_l
                 bh_e = jnp.repeat(bh_scr[rows], K, axis=0)
                 e_new = ce + hn_a + bh_e
 
@@ -110,17 +125,20 @@ def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
                 mu = jnp.mean(e_new, -1, keepdims=True)
                 var = jnp.mean(jnp.square(e_new - mu), -1, keepdims=True)
                 e_ln = (e_new - mu) * jax.lax.rsqrt(var + 1e-6)
-                e_ln = e_ln * lne_s_ref[l] + lne_b_ref[l]
+                e_ln = e_ln * lne_s + lne_b
                 e_mid = jax.nn.relu(e_ln) + tvec[None, :]
 
                 mu2 = jnp.mean(e_mid, -1, keepdims=True)
                 var2 = jnp.mean(jnp.square(e_mid - mu2), -1, keepdims=True)
                 e2 = (e_mid - mu2) * jax.lax.rsqrt(var2 + 1e-6)
-                e2 = e2 * ln2_s_ref[l] + ln2_b_ref[l]
+                e2 = e2 * ln2_s + ln2_b
                 e2 = e2 * jax.nn.sigmoid(e2)
 
-                proj = mm(e2.astype(bf16), wo_ref[l]) + bo_ref[l]
+                proj = mm(e2.astype(bf16), wo_l) + bo_l
                 e_scr[erows] = (eblk.astype(f32) + proj).astype(bf16)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, layer_chunk, 0)
 
             # node update: x += relu(LN(U x + agg))
             uh = mm(x_scr[...].astype(bf16), wu_ref[l]) + bu_ref[l]

@@ -65,6 +65,33 @@ def main():
         jax.profiler.stop_trace()
         print(f"trace {tag} written", flush=True)
 
+    # --- 2b. decode-quality parity: the mega kernel is now the default
+    # categorical sparse path, so the solved costs it produces must match
+    # the per-layer kernel's within sampling noise ------------------------
+    gaps = {}
+    for tag, mega in (("fused", False), ("mega", True)):
+        cfg = Config(
+            task="tsp", diffusion_type="categorical",
+            diffusion_schedule="cosine", diffusion_steps=1000,
+            inference_diffusion_steps=50, inference_schedule="cosine",
+            n_layers=12, hidden_dim=256, sparse_factor=50,
+            parallel_sampling=4, two_opt_iterations=1000, bf16=True,
+            mega_kernel=mega,
+        )
+        task = TSPTask(cfg)
+        costs = []
+        for i in range(4):
+            exi = ds.get(i)
+            m = task.evaluate_instance(
+                params, jnp.asarray(exi["points"]), jnp.asarray(exi["tour"]),
+                jax.random.fold_in(jax.random.PRNGKey(0), i),
+                neighbors=jnp.asarray(exi["neighbors"]))
+            costs.append(m["solved_cost"])
+        gaps[tag] = costs
+        print(f"decode {tag}: {costs}", flush=True)
+    OUT["decode_costs_fused"] = gaps["fused"]
+    OUT["decode_costs_mega"] = gaps["mega"]
+
     # --- 3. AOT blobs for the bench samplers -----------------------------
     from difusco_tpu.utils.aot_cache import aot_load_or_compile
 
