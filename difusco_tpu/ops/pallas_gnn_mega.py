@@ -269,3 +269,192 @@ def sparse_forward_mega(params, t, xt, points, neighbors,
     g = g * hp["GroupNorm_0"]["scale"] + hp["GroupNorm_0"]["bias"]
     g = jax.nn.relu(g)
     return jnp.dot(g, hp["Dense_0"]["kernel"]) + hp["Dense_0"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Dense variant: the flagship TSP-50 sampling path. A V=50 sample's edge
+# stream is (V, V, H) bf16 ~= 1.6 MB — trivially VMEM-resident, so all 12
+# layers run in one kernel with no HBM round-trips and no chunking (single
+# (V*V, H) matmuls per layer). Pad columns are masked out of the dense
+# aggregation (the flax model computes on unpadded V).
+# ---------------------------------------------------------------------------
+
+
+def _make_mega_dense_kernel(L: int, Vp: int, H: int, V: int):
+    def kernel(
+        xt_ref,      # (1, Vp, Vp) f32   binary edge state
+        x0_ref,      # (1, Vp, H) f32
+        tab_ref,     # (2, H) bf16
+        tvec_ref,    # (L, 1, H) bf16
+        wa_ref, ba_ref,
+        wv_ref, bv_ref,
+        wb_ref, bb_ref,
+        wu_ref, bu_ref,
+        wc_ref, bc_ref,
+        wo_ref, bo_ref,
+        lne_s_ref, lne_b_ref,
+        ln2_s_ref, ln2_b_ref,
+        nh_s_ref, nh_b_ref,
+        eout_ref,    # (1, Vp, Vp, H) bf16
+        x_scr,       # (Vp, H) f32
+        e_scr,       # (Vp * Vp, H) bf16
+    ):
+        mm = lambda a, w: jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        tab0 = tab_ref[0, :].astype(f32)
+        tab1 = tab_ref[1, :].astype(f32)
+        sel = (xt_ref[0] > 0.5).astype(f32).reshape(Vp * Vp, 1)
+        e_scr[...] = (sel * tab1[None, :]
+                      + (1.0 - sel) * tab0[None, :]).astype(bf16)
+        x_scr[...] = x0_ref[0]
+
+        # mask for pad COLUMNS j >= V: they must not contribute to the
+        # aggregation (the unpadded model never sees them)
+        col_real = (jax.lax.broadcasted_iota(jnp.int32, (1, Vp, 1), 1)
+                    < V).astype(f32)
+
+        for l in range(L):
+            xb = x_scr[...].astype(bf16)
+            ha = mm(xb, wa_ref[l]) + ba_ref[l]            # (Vp, H) f32
+            hv = mm(xb, wv_ref[l]) + bv_ref[l]
+            bh = mm(xb, wb_ref[l]) + bb_ref[l]
+            tvec = tvec_ref[l, 0, :].astype(f32)
+
+            ce = mm(e_scr[...], wc_ref[l]) + bc_ref[l]    # (Vp*Vp, H)
+            e_new = (ce.reshape(Vp, Vp, H)
+                     + ha[None, :, :] + bh[:, None, :])
+
+            gates = jax.nn.sigmoid(e_new)
+            msgs = gates * (hv[None, :, :] * col_real)
+            agg = jnp.sum(msgs, axis=1)                   # (Vp, H)
+
+            mu = jnp.mean(e_new, -1, keepdims=True)
+            var = jnp.mean(jnp.square(e_new - mu), -1, keepdims=True)
+            e_ln = (e_new - mu) * jax.lax.rsqrt(var + 1e-6)
+            e_ln = (e_ln * lne_s_ref[l][None] + lne_b_ref[l][None])
+            e_mid = jax.nn.relu(e_ln) + tvec[None, None, :]
+
+            mu2 = jnp.mean(e_mid, -1, keepdims=True)
+            var2 = jnp.mean(jnp.square(e_mid - mu2), -1, keepdims=True)
+            e2 = (e_mid - mu2) * jax.lax.rsqrt(var2 + 1e-6)
+            e2 = e2 * ln2_s_ref[l][None] + ln2_b_ref[l][None]
+            e2 = e2 * jax.nn.sigmoid(e2)
+
+            proj = mm(e2.reshape(Vp * Vp, H).astype(bf16), wo_ref[l]) \
+                + bo_ref[l]
+            e_scr[...] = (e_scr[...].astype(f32) + proj).astype(bf16)
+
+            uh = mm(x_scr[...].astype(bf16), wu_ref[l]) + bu_ref[l]
+            v = uh + agg
+            mu = jnp.mean(v, -1, keepdims=True)
+            var = jnp.mean(jnp.square(v - mu), -1, keepdims=True)
+            vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
+            vn = vn * nh_s_ref[l] + nh_b_ref[l]
+            x_scr[...] = x_scr[...] + jax.nn.relu(vn)
+
+        eout_ref[0] = e_scr[...].reshape(Vp, Vp, H)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "hidden_dim", "out_channels",
+                              "interpret"))
+def dense_forward_mega(params, t, xt, points,
+                       n_layers: int, hidden_dim: int, out_channels: int,
+                       interpret: bool = False):
+    """Whole-network fused DENSE forward (binary xt): xt (S, V, V) in
+    {0,1}; returns (S, V, V, out_channels)."""
+    from difusco_tpu.models import embeddings as emb
+
+    p = params["params"]
+    H = hidden_dim
+    L = n_layers
+    S, V, _ = xt.shape
+    Vp = _round_up(V, 8)
+    pad_n = Vp - V
+
+    def dense(px, x):
+        return (jnp.dot(x.astype(bf16), px["kernel"].astype(bf16),
+                        preferred_element_type=f32) + px["bias"])
+
+    x = dense(p["node_embed"], emb.position_embedding_sine(points, H))
+    tab = dense(p["edge_embed"], emb.scalar_embedding_sine(
+        jnp.asarray([0.0, 1.0], f32), H)).astype(bf16)
+    temb = emb.timestep_embedding(t, H)
+    temb = dense(p["time_embed_2"], jax.nn.relu(dense(p["time_embed_1"], temb)))
+    tvecs = jnp.stack([
+        dense(p[f"layer_{l}"]["time"]["Dense_0"], jax.nn.relu(temb))[:1]
+        for l in range(L)
+    ])
+
+    if x.ndim == 2:
+        x = x[None]
+    xtp = xt.astype(f32)
+    if pad_n:
+        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+        xtp = jnp.pad(xtp, ((0, 0), (0, pad_n), (0, pad_n)))
+    if x.shape[0] == 1 and S > 1:
+        x = jnp.broadcast_to(x, (S, Vp, H))
+
+    def stack(getter, cast):
+        return jnp.stack([cast(getter(p[f"layer_{l}"])) for l in range(L)])
+
+    k_of = lambda name: (lambda lp: lp["conv"][name]["kernel"])
+    b_of = lambda name: (lambda lp: lp["conv"][name]["bias"])
+    wcast = lambda a: a.astype(bf16)
+    bcast = lambda a: a.astype(f32).reshape(1, -1)
+
+    args = [
+        xtp, x.astype(f32), tab, tvecs.astype(bf16),
+        stack(k_of("A"), wcast), stack(b_of("A"), bcast),
+        stack(k_of("V"), wcast), stack(b_of("V"), bcast),
+        stack(k_of("B"), wcast), stack(b_of("B"), bcast),
+        stack(k_of("U"), wcast), stack(b_of("U"), bcast),
+        stack(k_of("C"), wcast), stack(b_of("C"), bcast),
+        stack(lambda lp: lp["out"]["Dense_0"]["kernel"], wcast),
+        stack(lambda lp: lp["out"]["Dense_0"]["bias"], bcast),
+        stack(lambda lp: lp["conv"]["norm_e"]["scale"], bcast),
+        stack(lambda lp: lp["conv"]["norm_e"]["bias"], bcast),
+        stack(lambda lp: lp["out"]["LayerNorm_0"]["scale"], bcast),
+        stack(lambda lp: lp["out"]["LayerNorm_0"]["bias"], bcast),
+        stack(lambda lp: lp["conv"]["norm_h"]["scale"], bcast),
+        stack(lambda lp: lp["conv"]["norm_h"]["bias"], bcast),
+    ]
+
+    kernel = _make_mega_dense_kernel(L, Vp, H, V)
+    lhh = pl.BlockSpec((L, H, H), lambda s: (0, 0, 0))
+    l1h = pl.BlockSpec((L, 1, H), lambda s: (0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, Vp, Vp), lambda s: (s, 0, 0)),
+        pl.BlockSpec((1, Vp, H), lambda s: (s, 0, 0)),
+        pl.BlockSpec((2, H), lambda s: (0, 0)),
+        l1h,
+    ] + [lhh, l1h] * 6 + [l1h] * 6
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    scratch = [
+        pltpu.VMEM((Vp, H), f32),
+        pltpu.VMEM((Vp * Vp, H), bf16),
+    ]
+    e = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Vp, Vp, H), lambda s: (s, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, Vp, Vp, H), bf16),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    hp = p["out_head"]
+    ef = e[:, :V, :V].astype(f32)
+    g = ef.reshape(S, V, V, 32, H // 32)
+    mu = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(g - mu), axis=(1, 2, 4), keepdims=True)
+    g = ((g - mu) * jax.lax.rsqrt(var + 1e-6)).reshape(S, V, V, H)
+    g = g * hp["GroupNorm_0"]["scale"] + hp["GroupNorm_0"]["bias"]
+    g = jax.nn.relu(g)
+    return jnp.dot(g, hp["Dense_0"]["kernel"]) + hp["Dense_0"]["bias"]

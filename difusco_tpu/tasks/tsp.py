@@ -175,6 +175,18 @@ class TSPTask:
             and cfg.diffusion_type == "categorical"
             and V <= 1200
         )
+        # dense megakernel: a V<=250 sample's (V,V,H) edge stream is VMEM-
+        # resident, so the whole 12-layer forward fuses into one kernel;
+        # needs binary xt (categorical) like the sparse variant
+        use_mega_dense = (
+            cfg.fused_inference
+            and not self.sparse
+            and getattr(cfg, "mega_kernel", True)
+            and cfg.diffusion_type == "categorical"
+            and (cfg.bf16 or cfg.fp16)
+            and jax.default_backend() != "cpu"
+            and V <= 250
+        )
 
         def apply(t_scalar, xt, xt_binary=False):
             t_vec = jnp.full((S,), t_scalar, jnp.float32)
@@ -203,6 +215,15 @@ class TSPTask:
                 return self.model.apply(
                     params, t_vec, xt, points=pts, neighbors=nbrs,
                     xt_binary=xt_binary,
+                )
+            if use_mega_dense and xt_binary:
+                from difusco_tpu.ops.pallas_gnn_mega import dense_forward_mega
+
+                return dense_forward_mega(
+                    params, t_vec, xt, pts,
+                    n_layers=cfg.n_layers,
+                    hidden_dim=cfg.hidden_dim,
+                    out_channels=cfg.out_channels,
                 )
             if use_fused:
                 from difusco_tpu.ops.pallas_gnn import dense_forward_fused

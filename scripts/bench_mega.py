@@ -65,6 +65,35 @@ def main():
         jax.profiler.stop_trace()
         print(f"trace {tag} written", flush=True)
 
+    # --- 1b. flagship dense V=50 S=32: mega vs current (XLA) path --------
+    import bench as bench_mod
+
+    for mega in (False, True):
+        cfg = Config(
+            task="tsp", diffusion_type="categorical",
+            diffusion_schedule="cosine", diffusion_steps=1000,
+            inference_diffusion_steps=50, inference_schedule="cosine",
+            n_layers=12, hidden_dim=256, bf16=True, mega_kernel=mega,
+        )
+        task = TSPTask(cfg)
+        rng = np.random.default_rng(0)
+        fpts = jnp.asarray(rng.random((50, 2)), jnp.float32)
+        batch = {"points": np.asarray(fpts)[None].repeat(2, 0),
+                 "adj": np.zeros((2, 50, 50), np.float32)}
+        fparams = task.init_params(jax.random.PRNGKey(0), batch)
+        key = jax.random.PRNGKey(1)
+        h = task.sample(fparams, fpts, key, 32)
+        h.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(5):
+            h = task.sample(fparams, fpts, jax.random.fold_in(key, i), 32)
+            h.block_until_ready()
+        dt = (time.perf_counter() - t0) / 5
+        OUT[f"flagship_samples_per_sec_{'mega' if mega else 'xla'}"] = round(
+            32 / dt, 2)
+        print(f"flagship mega={mega}: {round(32 / dt, 2)} samples/s",
+              flush=True)
+
     # --- 2b. decode-quality parity: the mega kernel is now the default
     # categorical sparse path, so the solved costs it produces must match
     # the per-layer kernel's within sampling noise ------------------------

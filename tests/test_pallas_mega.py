@@ -83,3 +83,52 @@ class TestMegaKernel:
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2)
+
+
+class TestDenseMegaKernel:
+    @pytest.mark.parametrize("V,L", [(10, 2), (14, 3)])
+    def test_matches_flax(self, V, L):
+        from difusco_tpu.ops.pallas_gnn_mega import dense_forward_mega
+
+        key = jax.random.PRNGKey(0)
+        S, H = 2, 64
+        model = GNNDenoiser(
+            n_layers=L, hidden_dim=H, out_channels=2, sparse=False,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.uniform(key, (S, V, 2))
+        xt = jax.random.bernoulli(key, 0.5, (S, V, V)).astype(jnp.float32)
+        t = jnp.array([5.0] * S)
+        params = model.init(key, t, xt, points=pts)
+        ref = model.apply(params, t, xt, points=pts)
+        out = dense_forward_mega(
+            params, t, xt, pts, n_layers=L, hidden_dim=H,
+            out_channels=2, interpret=True,
+        )
+        assert out.shape == ref.shape
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        assert err < 5e-2, f"V={V} L={L}: {err}"
+
+    def test_pad_columns_do_not_leak(self):
+        """V=10 pads to 16: the pad-column mask must keep the dense
+        aggregation identical to the unpadded flax result (checked
+        implicitly above, here with an xt that lights up every edge)."""
+        from difusco_tpu.ops.pallas_gnn_mega import dense_forward_mega
+
+        key = jax.random.PRNGKey(3)
+        S, V, H, L = 1, 10, 64, 1
+        model = GNNDenoiser(
+            n_layers=L, hidden_dim=H, out_channels=2, sparse=False,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.uniform(key, (S, V, 2))
+        xt = jnp.ones((S, V, V), jnp.float32)
+        t = jnp.array([2.0])
+        params = model.init(key, t, xt, points=pts)
+        ref = model.apply(params, t, xt, points=pts)
+        out = dense_forward_mega(
+            params, t, xt, pts, n_layers=L, hidden_dim=H,
+            out_channels=2, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2)
