@@ -47,5 +47,5 @@ exec python -m difusco_tpu.cli --task mis --do_train \
   --n_layers 12 --hidden_dim 256 --batch_size "$BATCH" --num_epochs "$EPOCHS" \
   --learning_rate "${LR:-2e-4}" --weight_decay 1e-4 --lr_scheduler "$SCHED" \
   --parallel_sampling 4 --bf16 --log_every 50 \
-  --validation_examples 8 --eval_every_steps "${EVAL_EVERY:-2500}" \
+  --validation_examples "${VALN:-8}" --eval_every_steps "${EVAL_EVERY:-2500}" \
   --ckpt_path "$CKPT" --resume_weight_only
