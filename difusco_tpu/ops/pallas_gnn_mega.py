@@ -2,13 +2,15 @@
 
 The per-layer fused kernel (ops/pallas_gnn_sparse.py) reads and writes the
 (S, V, K, H) edge stream from HBM once per layer: at TSP-500 S=4 that is
-~102 MB x 12 layers ~= 1.2 GB per denoise step, and the measured step sits
-at ~60% of that memory-bound floor (data/ROOFLINE.md). This kernel runs
-ALL layers for one sample inside a single kernel invocation with the edge
+~102 MB x 12 layers ~= 1.2 GB per denoise step. This kernel runs ALL
+layers for one sample inside a single kernel invocation with the edge
 stream resident in VMEM (V=500, K=50, H=256: 13 MB of the ~128 MB VMEM),
 so per step the HBM traffic drops to the binary xt input, one read of the
 stacked layer weights, and one write of the final edge features — the
-12-layer round-trips disappear.
+12-layer round-trips disappear. Measured gain over the per-layer kernel:
+1.08x at S=4, 1.22x at S=8 (v5e) — bounded because the layer chain is
+VPU-bound, not HBM-bound (data/ROOFLINE.md); the VMEM residency removes
+the bandwidth and dispatch overheads, not the elementwise work.
 
 Scope: the flagship sparse-TSP *categorical sampling* path — xt binary in
 {0,1} (the r3 two-row-table edge embedding), sum aggregation,
@@ -78,9 +80,14 @@ def _make_mega_kernel(L: int, Vp: int, K: int, H: int, TI: int):
 
         def embed_chunk(c, _):
             xt = xt_ref[0, pl.ds(c * TI, TI)]           # (TI, K)
-            sel = (xt > 0.5).astype(f32).reshape(TI * K, 1)
-            e0 = sel * tab1[None, :] + (1.0 - sel) * tab0[None, :]
-            e_scr[pl.ds(c * TI * K, TI * K)] = e0.astype(bf16)
+            # keep the lane dim H intact (Mosaic cannot shape-cast the
+            # lane dim, e.g. (TI,K)->(TI*K,1)); build (TI,K,H) and collapse
+            # only the leading dims
+            sel = (xt > 0.5).astype(f32)[:, :, None]
+            e0 = (sel * tab1[None, None, :]
+                  + (1.0 - sel) * tab0[None, None, :])
+            e_scr[pl.ds(c * TI * K, TI * K)] = e0.astype(bf16).reshape(
+                TI * K, H)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, embed_chunk, 0)
@@ -257,6 +264,10 @@ def sparse_forward_mega(params, t, xt, points, neighbors,
         out_shape=jax.ShapeDtypeStruct((S, Vp, K, H), bf16),
         scratch_shapes=scratch,
         interpret=interpret,
+        # the e_scr scratch alone is ~13 MB at V=500; raise Mosaic's scoped
+        # VMEM limit from its 16 MB default (v5e has ~128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
     # out head (GroupNorm32 + ReLU + Dense) in XLA — one bf16 read of e
@@ -304,9 +315,10 @@ def _make_mega_dense_kernel(L: int, Vp: int, H: int, V: int):
 
         tab0 = tab_ref[0, :].astype(f32)
         tab1 = tab_ref[1, :].astype(f32)
-        sel = (xt_ref[0] > 0.5).astype(f32).reshape(Vp * Vp, 1)
-        e_scr[...] = (sel * tab1[None, :]
-                      + (1.0 - sel) * tab0[None, :]).astype(bf16)
+        sel = (xt_ref[0] > 0.5).astype(f32)[:, :, None]   # (Vp, Vp, 1)
+        e_scr[...] = (sel * tab1[None, None, :]
+                      + (1.0 - sel) * tab0[None, None, :]
+                      ).astype(bf16).reshape(Vp * Vp, H)
         x_scr[...] = x0_ref[0]
 
         # mask for pad COLUMNS j >= V: they must not contribute to the
@@ -447,6 +459,8 @@ def dense_forward_mega(params, t, xt, points,
         out_shape=jax.ShapeDtypeStruct((S, Vp, Vp, H), bf16),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
     hp = p["out_head"]
