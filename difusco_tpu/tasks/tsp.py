@@ -169,11 +169,19 @@ class TSPTask:
         # whole-network megakernel (ops/pallas_gnn_mega.py): all layers in
         # one kernel with the edge stream VMEM-resident — needs binary xt
         # (the categorical sampling path) and whole-graph VMEM residency
+        # gate on the actual VMEM footprint, not V: the (Vp,K,H) bf16 edge
+        # scratch AND the same-shaped output block must both be resident
+        # (plus ~6 (Vp,H) node scratches), and v5e VMEM is 128 MB. At
+        # H=256 this admits TSP-500 (k=50, ~14 MB) but not TSP-1000
+        # (k=100, ~105 MB — measured VMEM OOM at 146.8/128 MB).
+        K_mega = neighbors.shape[-1] if neighbors is not None else 0
+        mega_bytes = 2 * (V + 128) * K_mega * cfg.hidden_dim * 2 \
+            + 8 * (V + 128) * cfg.hidden_dim * 4
         use_mega = (
             use_fused_sparse
             and getattr(cfg, "mega_kernel", True)
             and cfg.diffusion_type == "categorical"
-            and V <= 1200
+            and mega_bytes <= 96 * 1024 * 1024
         )
         # dense megakernel: a V<=250 sample's (V,V,H) edge stream is VMEM-
         # resident, so the whole 12-layer forward fuses into one kernel;

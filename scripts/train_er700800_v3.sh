@@ -21,11 +21,15 @@ EPOCHS=${EPOCHS:-4}
 
 python scripts/pack_er700800.py
 
-PACKS=data/packs/er700800_train
-for d in data/packs/er700800_train3a data/packs/er700800_train3b \
-         data/packs/er700800_train4a data/packs/er700800_train4b; do
-  [ -d "$d" ] && ls "$d"/stats_*.json >/dev/null 2>&1 && PACKS="$PACKS,$d"
+PACKS=
+for d in data/packs/er700800_train data/packs/er700800_train3a \
+         data/packs/er700800_train3b data/packs/er700800_train4a \
+         data/packs/er700800_train4b; do
+  if [ -d "$d" ] && ls "$d"/stats_*.json >/dev/null 2>&1; then
+    PACKS="${PACKS:+$PACKS,}$d"
+  fi
 done
+[ -n "$PACKS" ] || { echo "no packed chunks found"; exit 1; }
 
 if [ "$LEG" = "1" ]; then
   SCHED=constant
