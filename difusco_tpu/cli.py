@@ -50,6 +50,9 @@ def arg_parser() -> argparse.ArgumentParser:
                         "--training_split for task=mis")
     p.add_argument("--packed_max_nodes", type=int, default=0)
     p.add_argument("--packed_max_degree", type=int, default=0)
+    p.add_argument("--packed_refresh", action="store_true",
+                   help="rescan --packed_dirs for new chunks at every epoch"
+                        " boundary (train while a labeler is still writing)")
 
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_epochs", type=int, default=50)
@@ -150,6 +153,7 @@ def _load_datasets(cfg: Config):
              for d in cfg.packed_dirs.split(",")],
             max_nodes=cfg.packed_max_nodes or None,
             max_degree=cfg.packed_max_degree or None,
+            auto_refresh=cfg.packed_refresh,
         )
     else:
         train_ds = mk(cfg.training_split, label_dir)

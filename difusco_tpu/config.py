@@ -27,6 +27,7 @@ class Config:
     packed_dirs: Optional[str] = None
     packed_max_nodes: int = 0
     packed_max_degree: int = 0
+    packed_refresh: bool = False  # rescan pack dirs at each epoch boundary
 
     # ---- optimization (reference train.py:30-35) ----
     batch_size: int = 64

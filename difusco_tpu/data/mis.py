@@ -264,18 +264,49 @@ class PackedMISDataset:
     shape as data arrives (defaults: the max over all packed chunks)."""
 
     def __init__(self, pack_dirs, max_nodes: Optional[int] = None,
-                 max_degree: Optional[int] = None):
-        import json
-
+                 max_degree: Optional[int] = None,
+                 auto_refresh: bool = False):
         if isinstance(pack_dirs, str):
             pack_dirs = [pack_dirs]
+        self._dirs = list(pack_dirs)
+        self._seen = set()
         self._chunks = []  # (edges, eoff, labels, noff, n)
-        stat_nodes = stat_deg = 0
-        for d in pack_dirs:
+        self._stat_nodes = self._stat_deg = 0
+        self.auto_refresh = auto_refresh
+        self._scan()
+        if not self._chunks:
+            raise ValueError(f"no packed chunks under {pack_dirs!r}")
+        self.max_nodes = max_nodes or self._stat_nodes
+        self.max_degree = max_degree or self._stat_deg
+        assert self.max_nodes >= self._stat_nodes, (self.max_nodes,
+                                                    self._stat_nodes)
+        assert self.max_degree >= self._stat_deg, (self.max_degree,
+                                                   self._stat_deg)
+
+    def _scan(self) -> int:
+        """Pick up chunk files not yet loaded (append-only: a labeling
+        pipeline behind this dataset only ever adds chunks). Returns the
+        number of new chunks."""
+        import json
+
+        new = 0
+        for d in self._dirs:
             for sp in sorted(glob.glob(os.path.join(d, "stats_*.json"))):
+                if sp in self._seen:
+                    continue
                 j = os.path.basename(sp)[len("stats_"):-len(".json")]
                 with open(sp) as f:
                     st = json.load(f)
+                if hasattr(self, "max_nodes") and (
+                        st["max_nodes"] > self.max_nodes
+                        or st["max_degree"] > self.max_degree):
+                    # a late chunk that would break the fixed padded shapes:
+                    # skip it (XLA must never see a new shape mid-run)
+                    print(f"packed chunk {sp} exceeds the fixed caps "
+                          f"({st['max_nodes']}>{self.max_nodes} or "
+                          f"{st['max_degree']}>{self.max_degree}); skipped")
+                    self._seen.add(sp)
+                    continue
                 self._chunks.append((
                     np.load(os.path.join(d, f"edges_{j}.npy"), mmap_mode="r"),
                     np.load(os.path.join(d, f"eoff_{j}.npy")),
@@ -283,15 +314,23 @@ class PackedMISDataset:
                     np.load(os.path.join(d, f"noff_{j}.npy")),
                     st["n"],
                 ))
-                stat_nodes = max(stat_nodes, st["max_nodes"])
-                stat_deg = max(stat_deg, st["max_degree"])
-        if not self._chunks:
-            raise ValueError(f"no packed chunks under {pack_dirs!r}")
-        self._starts = np.cumsum([0] + [c[4] for c in self._chunks])
-        self.max_nodes = max_nodes or stat_nodes
-        self.max_degree = max_degree or stat_deg
-        assert self.max_nodes >= stat_nodes, (self.max_nodes, stat_nodes)
-        assert self.max_degree >= stat_deg, (self.max_degree, stat_deg)
+                self._seen.add(sp)
+                self._stat_nodes = max(self._stat_nodes, st["max_nodes"])
+                self._stat_deg = max(self._stat_deg, st["max_degree"])
+                new += 1
+        if new:
+            self._starts = np.cumsum([0] + [c[4] for c in self._chunks])
+        return new
+
+    def refresh(self) -> int:
+        """Rescan the pack dirs for chunks written since construction —
+        lets an epoch loop train on a still-growing labeled set (the
+        ``batches`` generator re-reads ``len(self)`` every epoch)."""
+        n = self._scan()
+        if n:
+            print(f"packed dataset refresh: +{n} chunks -> {len(self)} "
+                  "graphs")
+        return n
 
     def __len__(self) -> int:
         return int(self._starts[-1])
@@ -308,4 +347,28 @@ class PackedMISDataset:
         coo = np.concatenate([bidir, self_loop], axis=0).T
         return _pad_example(n, lab, coo, self.max_nodes, self.max_degree)
 
-    batches = MISDataset.batches
+    def batches(self, batch_size, shuffle=True, seed=0, drop_last=True,
+                epochs: Optional[int] = 1) -> Iterator[dict]:
+        """MISDataset.batches plus an optional per-epoch ``refresh()`` so a
+        growing pack dir (labeling pipeline still running) feeds later
+        epochs; the epoch's index order is drawn AFTER the refresh."""
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            if self.auto_refresh and epoch > 0:
+                self.refresh()
+            order = np.arange(len(self))
+            if shuffle:
+                rng.shuffle(order)
+            limit = ((len(self) // batch_size) * batch_size
+                     if drop_last else len(self))
+            for s in range(0, limit, batch_size):
+                idxs = order[s:s + batch_size]
+                if drop_last and len(idxs) < batch_size:
+                    continue
+                examples = [self.get(int(i)) for i in idxs]
+                yield {
+                    k: np.stack([ex[k] for ex in examples])
+                    for k in examples[0]
+                }
+            epoch += 1

@@ -143,17 +143,17 @@ def phase_convert(split, n):
               flush=True)
 
 
-def phase_solve(split, n, tpc, threads):
+def phase_solve(split, n, tpc, threads, tag=""):
     from difusco_tpu.data.tsp import TSPDataset
     from difusco_tpu.decode.mcts import run_mcts
     from difusco_tpu.utils.tours import tour_cost_np
 
     sp = SPLITS[split]
     out_dir = heat_dir(split)
-    tours_path = os.path.join(out_dir, "tours.txt")
+    tours_path = os.path.join(out_dir, f"tours{tag}.txt")
     stats = run_mcts(
         sp["test_file"], os.path.join(out_dir, "heatmap_{i}.txt"),
-        os.path.join(out_dir, "stats.txt"), time_per_city=tpc,
+        os.path.join(out_dir, f"stats{tag}.txt"), time_per_city=tpc,
         threads=threads, extra_args=["--count", str(n)],
         tours_path=tours_path,
     )
@@ -172,10 +172,13 @@ def phase_solve(split, n, tpc, threads):
     gts = np.array(gts)
 
     result = {
-        "protocol": f"reference solve-{split}.sh: full split, Param_T s/city"
+        "protocol": f"reference solve-{split}.sh"
                     + (", heatmap = merge+2-opt tour edges "
                        "(convert_numpy_with_2opt.py)" if sp["with_2opt"]
-                       else ""),
+                       else "")
+                    + ("" if abs(tpc - 0.10) < 1e-9 else
+                       f"; Param_T reduced 0.10->{tpc} (2-core CPU budget; "
+                       f"see the _T010 calibration artifact)"),
         "time_per_city": tpc,
         "threads": threads,
         "n": len(costs),
@@ -192,7 +195,8 @@ def phase_solve(split, n, tpc, threads):
         result["gap_vs_hk_lb"] = float(np.mean((costs[ok] - lb[ok]) / lb[ok]))
         result["hk_label_slack"] = float(np.mean((gts[ok] - lb[ok]) / lb[ok]))
 
-    out_json = os.path.join(REPO, "data", f"mcts_protocol_tsp{split}.json")
+    out_json = os.path.join(REPO, "data",
+                            f"mcts_protocol_tsp{split}{tag}.json")
     with open(out_json + ".tmp", "w") as f:
         json.dump(result, f, indent=1)
     os.replace(out_json + ".tmp", out_json)
@@ -208,6 +212,9 @@ def main():
     ap.add_argument("--n", type=int, default=0)
     ap.add_argument("--time", type=float, default=0.10)
     ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--tag", default="",
+                    help="suffix for the artifact/tours/stats files (e.g. "
+                         "'_T010_n8' for a full-budget calibration subset)")
     args = ap.parse_args()
     n = args.n or SPLITS[args.split]["n"]
     if args.phase in ("sample", "all"):
@@ -215,7 +222,7 @@ def main():
     if args.phase in ("convert", "all"):
         phase_convert(args.split, n)
     if args.phase in ("solve", "all"):
-        phase_solve(args.split, n, args.time, args.threads)
+        phase_solve(args.split, n, args.time, args.threads, args.tag)
 
 
 if __name__ == "__main__":

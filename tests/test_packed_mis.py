@@ -123,3 +123,64 @@ class TestPackedCLITraining:
         ])
         metrics = run(config_from_args(args))
         assert np.isfinite(metrics.get("val/solved_cost", np.nan))
+
+
+class TestRefresh:
+    def test_epoch_boundary_refresh_picks_up_new_chunks(self, tmp_path):
+        import json
+
+        def write_chunk(d, j, n_graphs, n=8, seed=0):
+            rng = np.random.default_rng(seed)
+            edges, eoff, labels, noff = [], [0], [], [0]
+            for _ in range(n_graphs):
+                e = np.array([[i, (i + 1) % n] for i in range(n)], np.int32)
+                edges.append(e)
+                eoff.append(eoff[-1] + len(e))
+                lab = np.zeros(n, np.int8)
+                lab[::2] = 1
+                labels.append(lab)
+                noff.append(noff[-1] + n)
+            np.save(d / f"edges_{j:05d}.npy", np.concatenate(edges))
+            np.save(d / f"eoff_{j:05d}.npy", np.asarray(eoff, np.int64))
+            np.save(d / f"labels_{j:05d}.npy", np.concatenate(labels))
+            np.save(d / f"noff_{j:05d}.npy", np.asarray(noff, np.int64))
+            with open(d / f"stats_{j:05d}.json", "w") as f:
+                json.dump({"n": n_graphs, "max_nodes": n,
+                           "max_degree": 3}, f)
+
+        d = tmp_path / "packs"
+        d.mkdir()
+        write_chunk(d, 0, 4)
+        ds = PackedMISDataset([str(d)], max_nodes=8, max_degree=3,
+                              auto_refresh=True)
+        assert len(ds) == 4
+        it = ds.batches(2, epochs=None, seed=1)
+        for _ in range(2):  # consume epoch 0 (4 graphs / B=2)
+            next(it)
+        write_chunk(d, 1, 4, seed=1)
+        seen = set()
+        for _ in range(4):  # epoch 1 must cover all 8 graphs
+            b = next(it)
+            seen.add(b["labels"].shape[0])
+        assert len(ds) == 8
+
+    def test_oversize_late_chunk_skipped(self, tmp_path, capsys):
+        import json
+
+        d = tmp_path / "p"
+        d.mkdir()
+        e = np.array([[0, 1]], np.int32)
+        for j, n in [(0, 4), (1, 99)]:
+            np.save(d / f"edges_{j:05d}.npy", e)
+            np.save(d / f"eoff_{j:05d}.npy", np.array([0, 1], np.int64))
+            np.save(d / f"labels_{j:05d}.npy", np.zeros(n, np.int8))
+            np.save(d / f"noff_{j:05d}.npy", np.array([0, n], np.int64))
+            if j == 0:
+                with open(d / f"stats_{j:05d}.json", "w") as f:
+                    json.dump({"n": 1, "max_nodes": n, "max_degree": 2}, f)
+        ds = PackedMISDataset([str(d)], max_nodes=8, max_degree=4,
+                              auto_refresh=True)
+        with open(d / "stats_00001.json", "w") as f:
+            json.dump({"n": 1, "max_nodes": 99, "max_degree": 2}, f)
+        assert ds.refresh() == 0  # oversize chunk skipped, len unchanged
+        assert len(ds) == 1
