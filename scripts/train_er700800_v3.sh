@@ -44,6 +44,7 @@ fi
 exec python -m difusco_tpu.cli --task mis --do_train \
   --storage_path . --logger_name "$NAME" \
   --packed_dirs "$PACKS" --packed_max_nodes 800 --packed_max_degree 180 \
+  --packed_refresh \
   --training_split 'data/mis_er700800_train/*.gpickle' \
   --validation_split 'data/mis_er700800_val/*.gpickle*' \
   --test_split 'data/mis_er700800_test/*.gpickle*' \
