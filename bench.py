@@ -265,12 +265,49 @@ def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
     ds = TSPDataset(test_file)
     costs, gts = [], []
     key = jax.random.PRNGKey(0)
+
+    # AOT path (VERDICT r3 item 6): the dense splits have uniform V, so one
+    # pre-serialized sample + decode executable pair (data/aot/, built by
+    # scripts/build_gap_aot.py) covers the whole split — the remote backend
+    # otherwise re-pays a multi-minute compile per section per process,
+    # which is what truncated tsp100 at 61/128 in r3. Exact evaluate_
+    # instance semantics: same key folding, best-of-S over one sequential
+    # sample (parity asserted by the builder script).
+    sample_fn = decode_fn = None
+    if os.environ.get("BENCH_AOT", "1") != "0":
+        try:
+            from difusco_tpu.utils.aot_cache import aot_load_or_compile
+
+            V = ds.get(0)["points"].shape[0]
+            pts_s = jax.ShapeDtypeStruct((V, 2), jnp.float32)
+            heat_s = jax.ShapeDtypeStruct((4, V, V), jnp.float32)
+            sample_fn = aot_load_or_compile(
+                task.sample, f"gap_{ckpt}_sample",
+                (params, pts_s, jax.random.PRNGKey(0), 4))
+            decode_fn = aot_load_or_compile(
+                jax.jit(task.decode), f"gap_{ckpt}_decode", (pts_s, heat_s))
+        except Exception as e:
+            print(f"gap aot fallback ({type(e).__name__}: {e})")
+            sample_fn = decode_fn = None
+
+    from difusco_tpu.utils.tours import tour_cost_np
+
     for i in range(min(n_instances, len(ds))):
         ex = ds.get(i)
-        m = task.evaluate_instance(
-            params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
-            jax.random.fold_in(key, i),
-        )
+        if sample_fn is not None and decode_fn is not None:
+            ki = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+            heat = sample_fn(params, jnp.asarray(ex["points"]), ki)
+            _, cst, _ = decode_fn(jnp.asarray(ex["points"]), heat)
+            m = {
+                "solved_cost": float(jnp.min(cst)),
+                "gt_cost": float(tour_cost_np(
+                    np.asarray(ex["points"]), np.asarray(ex["tour"]))),
+            }
+        else:
+            m = task.evaluate_instance(
+                params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
+                jax.random.fold_in(key, i),
+            )
         costs.append(float(m["solved_cost"]))
         gts.append(float(m["gt_cost"]))
         if deadline_ts and time.time() > deadline_ts:
