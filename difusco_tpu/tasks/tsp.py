@@ -193,7 +193,11 @@ class TSPTask:
             and cfg.diffusion_type == "categorical"
             and (cfg.bf16 or cfg.fp16)
             and jax.default_backend() != "cpu"
-            and V <= 250
+            # V <= 64, not the VMEM-fit bound (~250): Mosaic compile time
+            # explodes with the dense chunk count (V=50 compiles in ~2.5
+            # min; V=100 exceeded 30 min, measured 2026-08-21) — keep the
+            # megakernel to the flagship size it was measured to win at
+            and V <= 64
         )
 
         def apply(t_scalar, xt, xt_binary=False):
