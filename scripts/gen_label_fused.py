@@ -140,14 +140,39 @@ def one_graph(i: int, args, td: str, writer=None):
                          f"er_{i:05d}.gpickle")
     rpath = os.path.join(REPO, "data", f"mis_{args.name}_labels",
                          f"er_{i:05d}_unweighted.result")
-    if os.path.exists(rpath) and os.path.getsize(rpath) > 0:
-        if writer is not None and not writer.chunk_done(i // writer.chunk):
+    have_result = os.path.exists(rpath) and os.path.getsize(rpath) > 0
+    need_chunk = writer is not None and not writer.chunk_done(
+        i // writer.chunk)
+    if have_result and os.path.exists(gpath):
+        if need_chunk:
             n, e, labels = load_done_graph(gpath, rpath)
             writer.add(i, n, e, labels)
         return 0.0
+
     rng = np.random.default_rng(args.seed + i)
     n = int(rng.integers(args.min_n, args.max_n + 1))
     u, v = er_edges(n, args.er_p, rng)
+
+    if have_result:
+        # labels committed but graphs absent (they are gitignored —
+        # regenerable from seed+index): rebuild the graph, validate the
+        # label is an IS on it, skip the ILS solve
+        import networkx as nx
+
+        with open(rpath) as f:
+            labels = np.array([int(x) for x in f.read().split()], np.int64)
+        assert labels.shape[0] == n, (i, labels.shape, n)
+        assert not np.any(labels[u] & labels[v]), \
+            f"{i}: committed label is not an IS on the regenerated graph"
+        if need_chunk:
+            writer.add(i, n, np.stack([u, v], 1), labels)
+        g = nx.empty_graph(n)
+        g.add_edges_from(np.stack([u, v], 1).tolist())
+        tmp = gpath + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(g, f, protocol=4)
+        os.replace(tmp, gpath)
+        return 0.0
 
     mpath = os.path.join(td, "g.graph")
     opath = os.path.join(td, "g.result")

@@ -94,3 +94,35 @@ def test_er_edges_distribution():
     assert np.all(u < v)
     # binomial(n_pairs, .15): mean 18712, sd ~126 — 6 sigma band
     assert abs(len(u) - 0.15 * n_pairs) < 800
+
+
+def test_regen_from_labels_only(tmp_path):
+    """Graphs are gitignored; a fresh checkout has labels only. The
+    generator must deterministically rebuild each graph from seed+index,
+    validate the committed label is an IS on it, and skip the ILS solve."""
+    import pickle
+    import shutil
+    import subprocess
+
+    name = "er_regen_ut"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "gen_label_fused.py"),
+           "--name", name, "--num", "3", "--seed", "913",
+           "--min_n", "30", "--max_n", "40", "--time_limit", "0.05"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        g1 = os.path.join(REPO, "data", f"mis_{name}", "er_00001.gpickle")
+        with open(g1, "rb") as f:
+            edges_before = sorted(pickle.load(f).edges())
+        os.remove(g1)
+        shutil.rmtree(os.path.join(REPO, "data", "packs", name))
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        with open(g1, "rb") as f:
+            edges_after = sorted(pickle.load(f).edges())
+        assert edges_before == edges_after
+    finally:
+        for d in (f"data/mis_{name}", f"data/mis_{name}_labels",
+                  f"data/packs/{name}"):
+            shutil.rmtree(os.path.join(REPO, d), ignore_errors=True)
