@@ -397,12 +397,56 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=128,
     ds = TSPDataset(test_file, sparse_factor=k)
     costs, gts = [], []
     key = jax.random.PRNGKey(0)
+
+    # AOT path (VERDICT r4 item 3): the sparse splits have uniform V too, so
+    # a pre-serialized sample + decode pair (scripts/build_sparse_aot.py)
+    # makes the live tsp10000 section fit the driver deadline (cold V=10000
+    # compile alone is ~10 min). Exact evaluate_instance key semantics.
+    sample_fn = decode_fn = None
+    if os.environ.get("BENCH_AOT", "1") != "0":
+        try:
+            from difusco_tpu.utils.aot_cache import aot_load_or_compile
+
+            ex0 = ds.get(0)
+            V, K = ex0["neighbors"].shape
+            pts_s = jax.ShapeDtypeStruct((V, 2), jnp.float32)
+            nbr_s = jax.ShapeDtypeStruct((V, K), jnp.int32)
+            heat_s = jax.ShapeDtypeStruct((parallel_sampling, V, K),
+                                          jnp.float32)
+            tag = f"sparse_{ckpt_name}_V{V}_k{k}_S{parallel_sampling}" \
+                  f"_t{two_opt_iterations}"
+            sample_fn = aot_load_or_compile(
+                task.sample, f"{tag}_sample",
+                (params, pts_s, jax.random.PRNGKey(0), parallel_sampling),
+                kwargs={"neighbors": nbr_s})
+            decode_fn = aot_load_or_compile(
+                jax.jit(task.decode), f"{tag}_decode", (pts_s, heat_s),
+                kwargs={"neighbors": nbr_s})
+        except Exception as e:
+            print(f"sparse aot fallback ({type(e).__name__}: {e})")
+            sample_fn = decode_fn = None
+
+    from difusco_tpu.utils.tours import tour_cost_np
+
     for i in range(min(n_instances, len(ds))):
         ex = ds.get(i)
-        m = task.evaluate_instance(
-            params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
-            jax.random.fold_in(key, i), neighbors=jnp.asarray(ex["neighbors"]),
-        )
+        if sample_fn is not None and decode_fn is not None:
+            ki = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+            heat = sample_fn(params, jnp.asarray(ex["points"]), ki,
+                             neighbors=jnp.asarray(ex["neighbors"]))
+            _, cst, _ = decode_fn(jnp.asarray(ex["points"]), heat,
+                                  neighbors=jnp.asarray(ex["neighbors"]))
+            m = {
+                "solved_cost": float(jnp.min(cst)),
+                "gt_cost": float(tour_cost_np(
+                    np.asarray(ex["points"]), np.asarray(ex["tour"]))),
+            }
+        else:
+            m = task.evaluate_instance(
+                params, jnp.asarray(ex["points"]), jnp.asarray(ex["tour"]),
+                jax.random.fold_in(key, i),
+                neighbors=jnp.asarray(ex["neighbors"]),
+            )
         costs.append(float(m["solved_cost"]))
         gts.append(float(m["gt_cost"]))
         if deadline_ts and time.time() > deadline_ts:
@@ -515,14 +559,39 @@ def bench_mcts_tsp500(n_instances=2, time_per_city=0.02):
     task = TSPTask(cfg)
     ds = TSPDataset(test_file, sparse_factor=50)
     n = min(n_instances, len(ds))
+    # AOT blob (scripts/build_sparse_aot.py, tsp500_smoke config) so the
+    # S=1 sampler shape doesn't recompile inside the bench deadline
+    sample_fn = None
+    if os.environ.get("BENCH_AOT", "1") != "0":
+        try:
+            from difusco_tpu.utils.aot_cache import aot_load_or_compile
+
+            ex0 = ds.get(0)
+            V0, K0 = ex0["neighbors"].shape
+            sample_fn = aot_load_or_compile(
+                task.sample,
+                "sparse_tsp500_sparse_categorical_V500_k50_S1_t1000_sample",
+                (params, jax.ShapeDtypeStruct((V0, 2), jnp.float32),
+                 jax.random.PRNGKey(0), 1),
+                kwargs={"neighbors": jax.ShapeDtypeStruct((V0, K0),
+                                                          jnp.int32)})
+        except Exception as e:
+            print(f"smoke aot fallback ({type(e).__name__}: {e})")
+            sample_fn = None
     with tempfile.TemporaryDirectory() as tmp:
         key = jax.random.PRNGKey(0)
         for i in range(n):
             ex = ds.get(i)
-            heat = task.sample(
-                params, jnp.asarray(ex["points"]), jax.random.fold_in(key, i),
-                1, neighbors=jnp.asarray(ex["neighbors"]),
-            )
+            if sample_fn is not None:
+                heat = sample_fn(params, jnp.asarray(ex["points"]),
+                                 jax.random.fold_in(key, i),
+                                 neighbors=jnp.asarray(ex["neighbors"]))
+            else:
+                heat = task.sample(
+                    params, jnp.asarray(ex["points"]),
+                    jax.random.fold_in(key, i),
+                    1, neighbors=jnp.asarray(ex["neighbors"]),
+                )
             h = np.asarray(heat)[0]
             V, K = h.shape
             dense = np.zeros((V, V), np.float32)
@@ -671,15 +740,42 @@ def main():
             "compact": True,
             "mfu": d.get("mfu"),
             "sections_skipped": d["sections_skipped"],
+            "sections_no_output": d.get("sections_no_output", []),
             "bench_seconds": d["bench_seconds"],
         }
+        # fail-loud compact line (VERDICT r4 item 1): every *_error key and
+        # the perf families (sparse/mega steps-per-sec) ride the compact
+        # summary too — in r04 the ER-700-800 section's failure was invisible
+        # because errors appeared only in the full line, which outgrows the
+        # driver's 2 KB stdout tail
         for k, v in d.items():
-            if k.endswith(("_gap_vs_best_known", "_gap_vs_HK_LB",
-                           "_gap_vs_hk_lb", "_gap_vs_optimal",
-                           "_setsize_vs_labels", "_setsize_vs_optimal",
-                           "_gap_vs_2opt_labels", "_steps_per_sec")):
-                summary[k] = v
-        print(json.dumps(summary), flush=True)
+            if (k.endswith(("_gap_vs_best_known", "_gap_vs_HK_LB",
+                            "_gap_vs_hk_lb", "_gap_vs_optimal",
+                            "_setsize_vs_labels", "_setsize_vs_optimal",
+                            "_gap_vs_2opt_labels", "_error",
+                            "_speedup", "_speedup_vs_fused",
+                            "_labels_from_protocol",
+                            "_gap_vs_pre_run_labels"))
+                    or "_steps_per_sec" in k or "_mfu_" in k
+                    or k.startswith("mis_er700800")):
+                summary[k] = round(v, 5) if isinstance(v, float) else v
+        # the driver records only the LAST 2 KB of stdout: if the compact
+        # line itself outgrows that, its head (metric/value) is cut and the
+        # whole line becomes unparseable — shed lowest-value keys first
+        blob = json.dumps(summary)
+        if len(blob) > 1900:
+            shed = [k for k in summary
+                    if "_mfu_" in k or k.endswith(("_HK_label_slack",
+                                                   "_time_per_city"))]
+            shed += [k for k in summary if k.endswith(
+                ("_hk_n", "_n_instances", "_ls_n"))]
+            for k in shed:
+                summary.pop(k, None)
+                if len(json.dumps(summary)) <= 1850:
+                    break
+            summary["compact_shed"] = len(shed)
+            blob = json.dumps(summary)
+        print(blob, flush=True)
 
     def put_gap(prefix, g, test_rel=None):
         if g is None:
@@ -788,36 +884,58 @@ def main():
     def sec_mis_er700800():
         # reference-scale ER-[700-800] p=0.15, gaussian 12x256, ILS labels.
         # greedy = reference-parity decode (pl_mis_model.py:194-200);
-        # _ls = with the on-device ILS refinement
+        # _ls = with the on-device ILS refinement. Two guarded phases —
+        # greedy FIRST with its own emit — so the round's #1 metric can
+        # never vanish with a later-phase failure (VERDICT r4 item 1: r04's
+        # single-call section produced nothing in the driver artifact).
+        try:
+            r = bench_mis(
+                n_instances=envn("BENCH_ER700800_N", 16),
+                ckpt_name="mis_er700800_gaussian",
+                data_dir="mis_er700800_test", hidden_dim=256,
+                diffusion_type="gaussian",
+                deadline_ts=deadline - 15,
+            )
+            if r is not None:
+                d["mis_er700800_gaussian_greedy_setsize_vs_labels"] = round(
+                    r[0], 5)
+                d["mis_er700800_n"] = r[2]
+        except Exception as e:
+            d["mis_er700800_greedy_error"] = f"{type(e).__name__}: {e}"[:300]
+        emit()
+        ls_rounds = envn("BENCH_ER700800_ILS", 512)
+        if ls_rounds <= 0 or time.time() > deadline - 60:
+            return
         r = bench_mis(
-            n_instances=envn("BENCH_ER700800_N", 16),
+            n_instances=envn("BENCH_ER700800_LS_N", 8),
             ckpt_name="mis_er700800_gaussian",
             data_dir="mis_er700800_test", hidden_dim=256,
             diffusion_type="gaussian",
-            ls_rounds=envn("BENCH_ER700800_ILS", 512), ls_replicas=2,
+            ls_rounds=ls_rounds, ls_replicas=2,
             deadline_ts=deadline - 15,
         )
-        if r is not None:
-            greedy_r, ls_r, n = r
-            d["mis_er700800_gaussian_greedy_setsize_vs_labels"] = round(
-                greedy_r, 5)
-            if ls_r is not None:
-                d["mis_er700800_gaussian_setsize_vs_labels"] = round(ls_r, 5)
-                # record the benched ILS budget so the number is never
-                # quoted for a different config (VERDICT r3 weak #5)
-                d["mis_er700800_ls_rounds"] = envn("BENCH_ER700800_ILS", 512)
-            d["mis_er700800_n"] = n
+        if r is not None and r[1] is not None:
+            d["mis_er700800_gaussian_setsize_vs_labels"] = round(r[1], 5)
+            # record the benched ILS budget so the number is never
+            # quoted for a different config (VERDICT r3 weak #5)
+            d["mis_er700800_ls_rounds"] = ls_rounds
+            d["mis_er700800_ls_n"] = r[2]
 
     def sec_sparse_throughput():
+        # flat keys (tsp500_sparse_steps_per_sec_mega, ...) so the family
+        # rides the compact summary line — the nested dict of r04 survived
+        # only in side-committed artifacts (VERDICT r4 weak #1)
         r = bench_sparse_throughput()
         if r is not None:
-            d["tsp500_sparse_throughput"] = r
+            for k, v in r.items():
+                d[f"tsp500_sparse_{k}"] = v
         r = bench_sparse_throughput(
             ckpt_name="tsp1000_sparse_categorical",
             test_rel="data/tsp1000/tsp1000_test.txt", k=100,
             both_kernels=False)
         if r is not None:
-            d["tsp1000_sparse_throughput"] = r
+            for k, v in r.items():
+                d[f"tsp1000_sparse_{k}"] = v
 
     def sec_tsp500():
         g = bench_tsp_sparse(
@@ -862,7 +980,8 @@ def main():
         prefix = f"tsp{split}_mcts_protocol"
         for k in ("gap_vs_hk_lb", "n", "time_per_city"):
             if k in st:
-                d[f"{prefix}_{k}"] = st[k]
+                d[f"{prefix}_{k}"] = round(st[k], 5) \
+                    if isinstance(st[k], float) else st[k]
         test_file = os.path.join(os.path.dirname(__file__),
                                  *test_rel.split("/"))
         if "costs" in st and os.path.exists(test_file):
@@ -876,8 +995,18 @@ def main():
                 [tour_cost_np(np.asarray(ds.get(i)["points"]),
                               np.asarray(ds.get(i)["tour"]))
                  for i in range(n)], np.float64)
-            d[f"{prefix}_gap_vs_best_known"] = round(
-                float(np.mean((costs[:n] - gts) / gts)), 5)
+            live = float(np.mean((costs[:n] - gts) / gts))
+            stored = st.get("gap_vs_best_known")
+            if stored is not None and abs(live - stored) > 1e-4 \
+                    and abs(live) < 1e-4:
+                # the protocol's tours were folded back into this split's
+                # labels (keep-if-better), so vs-CURRENT-labels is
+                # definitionally ~0 and carries no information — report the
+                # artifact's stored pre-fold gap instead (VERDICT r4 item 9)
+                d[f"{prefix}_labels_from_protocol"] = True
+                d[f"{prefix}_gap_vs_pre_run_labels"] = round(stored, 5)
+            else:
+                d[f"{prefix}_gap_vs_best_known"] = round(live, 5)
         elif "gap_vs_best_known" in st:
             d[f"{prefix}_gap_vs_best_known"] = st["gap_vs_best_known"]
 
@@ -977,10 +1106,15 @@ def main():
             d["sections_skipped"].append(name)
             continue
         t0 = time.time()
+        keys_before = set(d)
         try:
             fn()
         except Exception as e:  # a failed section must not lose the rest
             d[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+        if not (set(d) - keys_before):
+            # ran, didn't error, set nothing — the r04 failure mode where a
+            # section's output silently vanishes from the round's evidence
+            d.setdefault("sections_no_output", []).append(name)
         d["section_seconds"][name] = round(time.time() - t0, 1)
         emit()
     emit()  # final line always reflects the complete sections_skipped list

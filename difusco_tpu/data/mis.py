@@ -273,6 +273,13 @@ class PackedMISDataset:
         self._chunks = []  # (edges, eoff, labels, noff, n)
         self._stat_nodes = self._stat_deg = 0
         self.auto_refresh = auto_refresh
+        if max_nodes and max_degree:
+            # explicit caps: install them BEFORE the initial scan so an
+            # oversize chunk gets the same skip-with-warning path as a
+            # refresh-time scan — otherwise a job that ran fine by skipping
+            # a late oversize chunk crashes on restart (advisor r4 #2)
+            self.max_nodes = max_nodes
+            self.max_degree = max_degree
         self._scan()
         if not self._chunks:
             raise ValueError(f"no packed chunks under {pack_dirs!r}")

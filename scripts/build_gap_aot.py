@@ -66,13 +66,14 @@ def main():
             jax.jit(task.decode), f"gap_{ckpt}_decode", (pts_s, heat_s))
         t1 = time.time()
 
-        # parity vs the evaluate_instance path at the bench's exact keys.
-        # Only for the first config: evaluate_instance re-compiles sample +
-        # decode through its own jit cache (the AOT exe can't seed it), so
-        # each parity check doubles the config's compile bill and the code
-        # path is identical across configs.
+        # parity vs the evaluate_instance path at the bench's exact keys —
+        # for EVERY config by default (the gaussian DDIM sampler is a
+        # genuinely different code path from the categorical one; advisor
+        # r4 #3). Each check doubles that config's compile bill
+        # (evaluate_instance re-compiles through its own jit cache); set
+        # GAP_AOT_PARITY_FIRST_ONLY=1 to skip when iterating on blobs.
         if CONFIGS.index((ckpt, dtype, test_rel)) > 0 \
-                and os.environ.get("GAP_AOT_PARITY_ALL", "0") != "1":
+                and os.environ.get("GAP_AOT_PARITY_FIRST_ONLY", "0") == "1":
             print(f"{ckpt}: built in {t1 - t0:.0f}s (parity checked on the "
                   "first config only)")
             continue

@@ -99,6 +99,36 @@ class ChunkWriter:
         if (i + 1) % self.chunk == 0:
             self.flush(j)
 
+    def repair_partial_tail(self, num: int):
+        """If the highest packed chunk is partial (tail-flushed by an earlier
+        run with a smaller --num) and this run wants graphs beyond it, remove
+        that chunk's files so it is rebuilt full-size from the on-disk
+        gpickle/.result pairs (cheap resume path)."""
+        import glob
+        import json
+
+        stats = sorted(glob.glob(os.path.join(self.out_dir, "stats_*.json")))
+        if not stats:
+            return
+        j = int(os.path.basename(stats[-1])[6:11])
+        with open(stats[-1]) as f:
+            n = json.load(f)["n"]
+        if n < self.chunk and num > j * self.chunk + n:
+            for kind in ("edges", "eoff", "labels", "noff", "stats"):
+                ext = "json" if kind == "stats" else "npy"
+                p = os.path.join(self.out_dir, f"{kind}_{j:05d}.{ext}")
+                if os.path.exists(p):
+                    os.remove(p)
+            print(f"repacking partial tail chunk {j} ({n} graphs) for growth",
+                  flush=True)
+
+    def finalize(self, last_i: int):
+        """Flush the trailing partial chunk so no labeled graph is silently
+        absent from the pack when --num is not a multiple of the chunk size
+        (advisor r4 finding #1)."""
+        if self.edges:
+            self.flush(last_i // self.chunk)
+
     def flush(self, j: int):
         import json
 
@@ -222,6 +252,8 @@ def main():
                 exist_ok=True)
     writer = ChunkWriter(os.path.join(REPO, "data", "packs", args.name)) \
         if args.pack else None
+    if writer is not None:
+        writer.repair_partial_tail(args.num)
     t0 = time.time()
     done = 0
     sizes = []
@@ -238,6 +270,8 @@ def main():
                 dt = time.time() - t0
                 print(f"{done}/{args.num} graphs, {dt/max(done,1):.2f} s/graph,"
                       f" mean set {np.mean(sizes):.2f}", flush=True)
+        if writer is not None and done:
+            writer.finalize(done - 1)
     dt = time.time() - t0
     print(f"DONE {args.name}: {done} graphs in {dt:.0f}s "
           f"({dt/max(done,1):.2f} s/graph)", flush=True)
