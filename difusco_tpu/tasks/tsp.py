@@ -166,17 +166,18 @@ class TSPTask:
             and jax.default_backend() != "cpu"
         )
         sparse_variant = "onehot" if V <= 1200 else "gathered"
-        # whole-network megakernel (ops/pallas_gnn_mega.py): all layers in
-        # one kernel with the edge stream VMEM-resident — needs binary xt
-        # (the categorical sampling path) and whole-graph VMEM residency
-        # gate on the actual VMEM footprint, not V: the (Vp,K,H) bf16 edge
-        # scratch AND the same-shaped output block must both be resident
-        # (plus ~6 (Vp,H) node scratches), and v5e VMEM is 128 MB. At
-        # H=256 this admits TSP-500 (k=50, ~14 MB) but not TSP-1000
-        # (k=100, ~105 MB — measured VMEM OOM at 146.8/128 MB).
+        # whole-network STEP megakernel (ops/pallas_gnn_mega.py): all layers
+        # PLUS the out head + softmax + posterior + Bernoulli in one kernel
+        # — needs binary xt (the categorical sampling path) and whole-graph
+        # VMEM residency. Fusing the epilogue shrank the kernel output from
+        # (1,Vp,K,H) bf16 to (1,Vp,K) f32, so the footprint is the edge
+        # scratch + node scratches + stacked weights: at H=256 this now
+        # admits TSP-1000 k=100 (~68 MB; the r4 unfused kernel OOMed there
+        # at a measured 146.8/128 MB) as well as TSP-500 (~27 MB).
         K_mega = neighbors.shape[-1] if neighbors is not None else 0
-        mega_bytes = 2 * (V + 128) * K_mega * cfg.hidden_dim * 2 \
-            + 8 * (V + 128) * cfg.hidden_dim * 4
+        mega_bytes = (V + 128) * K_mega * cfg.hidden_dim * 2 \
+            + 20 * (V + 128) * cfg.hidden_dim \
+            + 12 * cfg.n_layers * cfg.hidden_dim * cfg.hidden_dim
         use_mega = (
             use_fused_sparse
             and getattr(cfg, "mega_kernel", True)
@@ -252,6 +253,44 @@ class TSPTask:
 
         if cfg.diffusion_type == "categorical":
             xt = (jax.random.normal(kx, shape) > 0).astype(jnp.float32)
+
+            if use_mega and self.sparse:
+                # fully fused denoise step: layers + out head + softmax +
+                # posterior + Bernoulli in ONE kernel; the PRNG stream is
+                # identical to the unfused path (bernoulli(k,p) ==
+                # uniform(k) < p, and the kernel consumes those uniforms)
+                from difusco_tpu.ops.pallas_gnn_mega import (
+                    sparse_denoise_step_mega)
+
+                def step(carry, pair):
+                    xt, key = carry
+                    key, sub = jax.random.split(key)
+                    xt = sparse_denoise_step_mega(
+                        params, self.sched.Q_bar, pair[0], pair[1], xt,
+                        points, neighbors, sub,
+                        n_layers=cfg.n_layers, hidden_dim=cfg.hidden_dim,
+                    )
+                    return (xt, key), None
+
+                (xt, _), _ = jax.lax.scan(step, (xt, kloop), self.time_pairs)
+                return xt + 1e-6
+
+            if use_mega_dense:
+                from difusco_tpu.ops.pallas_gnn_mega import (
+                    dense_denoise_step_mega)
+
+                def step(carry, pair):
+                    xt, key = carry
+                    key, sub = jax.random.split(key)
+                    xt = dense_denoise_step_mega(
+                        params, self.sched.Q_bar, pair[0], pair[1], xt,
+                        points, sub,
+                        n_layers=cfg.n_layers, hidden_dim=cfg.hidden_dim,
+                    )
+                    return (xt, key), None
+
+                (xt, _), _ = jax.lax.scan(step, (xt, kloop), self.time_pairs)
+                return xt + 1e-6
 
             def step(carry, pair):
                 xt, key = carry
