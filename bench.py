@@ -231,7 +231,8 @@ def _frozen_gap(live_test_file, frozen_name, costs):
 
 def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
               diffusion_type="categorical",
-              test_rel="data/tsp50/tsp50_test.txt", deadline_ts=None):
+              test_rel="data/tsp50/tsp50_test.txt", deadline_ts=None,
+              parallel_sampling=4):
     """Solved-gap benchmark on a committed dense-TSP checkpoint + test split.
 
     Gap is measured against the split's label tours (best-known, refined
@@ -259,7 +260,8 @@ def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
         inference_schedule="cosine",
         inference_trick="ddim" if gaussian else None,
         n_layers=12, hidden_dim=256,
-        parallel_sampling=4, two_opt_iterations=1000, bf16=True,
+        parallel_sampling=parallel_sampling, two_opt_iterations=1000,
+        bf16=True,
     )
     task = TSPTask(cfg)
     ds = TSPDataset(test_file)
@@ -279,13 +281,18 @@ def bench_gap(n_instances=64, ckpt="tsp50_categorical_v3",
             from difusco_tpu.utils.aot_cache import aot_load_or_compile
 
             V = ds.get(0)["points"].shape[0]
+            S = parallel_sampling
             pts_s = jax.ShapeDtypeStruct((V, 2), jnp.float32)
-            heat_s = jax.ShapeDtypeStruct((4, V, V), jnp.float32)
+            heat_s = jax.ShapeDtypeStruct((S, V, V), jnp.float32)
+            # S must be IN THE NAME: it is a static (non-input) arg, so the
+            # signature hash cannot distinguish S=4 from S=16 executables
+            stag = "" if S == 4 else f"_S{S}"
             sample_fn = aot_load_or_compile(
-                task.sample, f"gap_{ckpt}_sample",
-                (params, pts_s, jax.random.PRNGKey(0), 4))
+                task.sample, f"gap_{ckpt}{stag}_sample",
+                (params, pts_s, jax.random.PRNGKey(0), S))
             decode_fn = aot_load_or_compile(
-                jax.jit(task.decode), f"gap_{ckpt}_decode", (pts_s, heat_s))
+                jax.jit(task.decode), f"gap_{ckpt}{stag}_decode",
+                (pts_s, heat_s))
         except Exception as e:
             print(f"gap aot fallback ({type(e).__name__}: {e})")
             sample_fn = decode_fn = None
@@ -646,6 +653,9 @@ def bench_train_throughput(n_warmup=2, n_iters=10):
         loss.block_until_ready()
         dt = (time.perf_counter() - t0) / n_iters
         out[f"{name}_train_steps_per_sec"] = round(1.0 / dt, 3)
+        # batch size next to the throughput so the number is never quoted
+        # without its context (VERDICT r4 weak #4)
+        out[f"{name}_train_batch_size"] = cfg.batch_size
         if peak:
             out[f"{name}_train_mfu"] = round(
                 3.0 * fwd_flops_per_batch / dt / peak, 4)
@@ -664,12 +674,14 @@ def bench_train_throughput(n_warmup=2, n_iters=10):
     run(TSPTask(cfg), cfg, {"points": pts, "adj": adj},
         B * dense_gnn_flops_per_forward(V, 256, 12), "tsp50")
 
-    # MIS ER-[700-800] gaussian, batch 4, activation checkpointing
+    # MIS ER-[700-800] gaussian, batch 4, NO activation checkpointing —
+    # the config the round-4/5 training runs actually use (remat was a GPU
+    # memory workaround; measured 8.72 vs 6.05 graphs/s, perf_r4_probe)
     V, K, B = 800, 168, 4
     cfg = Config(
         task="mis", diffusion_type="gaussian", diffusion_schedule="linear",
         diffusion_steps=1000, n_layers=12, hidden_dim=256, batch_size=B,
-        learning_rate=2e-4, bf16=True, use_activation_checkpoint=True,
+        learning_rate=2e-4, bf16=True, use_activation_checkpoint=False,
     )
     nbrs = rng.integers(0, V, (B, V, K)).astype(np.int32)
     mask = (rng.random((B, V, K)) < 0.9).astype(np.float32)
@@ -837,6 +849,16 @@ def main():
                       test_rel="data/tsp100/tsp100_test.txt",
                       deadline_ts=deadline - 20)
         put_gap("tsp100", g, "data/tsp100/tsp100_test.txt")
+        emit()
+        # the paper's headline TSP-100 sampling row is 16 samples (the
+        # reproducing_scripts.md:228-252 command is greedy; the <=0.1%
+        # table entry is DIFUSCO 16x) — measure best-of-16 too
+        if time.time() < deadline - 60:
+            g16 = bench_gap(n_instances=envn("BENCH_TSP100_S16_N", 128),
+                            ckpt="tsp100_categorical_v3",
+                            test_rel="data/tsp100/tsp100_test.txt",
+                            deadline_ts=deadline - 20, parallel_sampling=16)
+            put_gap("tsp100_s16", g16, "data/tsp100/tsp100_test.txt")
 
     def sec_tsp50_gaussian():
         g = bench_gap(n_instances=envn("BENCH_TSP50G_N", 64),

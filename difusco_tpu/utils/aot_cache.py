@@ -31,11 +31,39 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+_CODE_FP = None
+
+# modules whose source defines the traced programs: a change to any of
+# them must invalidate every cached executable (a stale blob would load
+# fine and silently run the OLD kernel — measured hazard when the round-5
+# step-fused megakernels replaced the r4 sampler graphs)
+_FP_MODULES = (
+    "diffusion.py", "tasks/tsp.py", "tasks/mis.py", "models/gnn.py",
+    "models/embeddings.py", "ops/pallas_gnn.py", "ops/pallas_gnn_sparse.py",
+    "ops/pallas_gnn_mega.py", "ops/merge.py", "ops/two_opt.py",
+    "ops/mis_decode.py", "ops/mis_local_search.py",
+)
+
+
+def _code_fingerprint() -> str:
+    global _CODE_FP
+    if _CODE_FP is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for rel in _FP_MODULES:
+            p = os.path.join(pkg, *rel.split("/"))
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CODE_FP = h.hexdigest()[:8]
+    return _CODE_FP
+
+
 def _signature(args, kwargs) -> str:
     import jax
 
     leaves, treedef = jax.tree.flatten((args, kwargs))
-    parts = [str(treedef)]
+    parts = [str(treedef), _code_fingerprint()]
     for leaf in leaves:
         x = jax.numpy.asarray(leaf) if not hasattr(leaf, "shape") else leaf
         parts.append(f"{getattr(x, 'shape', ())}:{getattr(x, 'dtype', type(leaf))}")

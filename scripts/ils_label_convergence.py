@@ -32,13 +32,18 @@ def main():
     ap.add_argument("--budgets", default="2,20,60")
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--split_dir", default="mis_er700800_test",
+                    help="graph dir under data/ (e.g. mis_er700800_train4a "
+                         "to bound the 0.25 s TRAINING-label budget noise, "
+                         "VERDICT r4 weak #6)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
     budgets = [float(b) for b in args.budgets.split(",")]
 
     from difusco_tpu.data.mis_solvers import _load_graph, solve_ils
 
     files = sorted(glob.glob(
-        os.path.join(REPO, "data", "mis_er700800_test", "*.gpickle*")))[: args.n]
+        os.path.join(REPO, "data", args.split_dir, "*.gpickle*")))[: args.n]
     graphs = [_load_graph(f) for f in files]
 
     import multiprocessing
@@ -54,8 +59,8 @@ def main():
     base = results[str(budgets[0])]["mean"]
     best = max(r["mean"] for r in results.values())
     results["marginal_gain_vs_base"] = best - base
-    out = os.path.join(REPO, "data", "mis_er700800_test_labels",
-                       "convergence.json")
+    out = args.out or os.path.join(
+        REPO, "data", "mis_er700800_test_labels", "convergence.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"max marginal gain over {budgets[0]}s budget: "
