@@ -642,6 +642,17 @@ def bench_train_throughput(n_warmup=2, n_iters=10):
         opt_state = optimizer.init(params)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         key = jax.random.PRNGKey(1)
+        # AOT the train step like the samplers (built on first bench run;
+        # the remote backend re-pays the compile per process otherwise)
+        if os.environ.get("BENCH_AOT", "1") != "0":
+            try:
+                from difusco_tpu.utils.aot_cache import aot_load_or_compile
+
+                step = aot_load_or_compile(
+                    step, f"train_{name}_B{cfg.batch_size}",
+                    (params, opt_state, jbatch, key))
+            except Exception as e:
+                print(f"train aot fallback ({type(e).__name__}: {e})")
         for i in range(n_warmup):
             params, opt_state, loss = step(params, opt_state, jbatch,
                                            jax.random.fold_in(key, i))
@@ -1039,6 +1050,20 @@ def main():
                               "data/tsp1000/tsp1000_test.txt")
         _mcts_protocol_family(10000, "mcts_protocol_tsp10000.json",
                               "data/tsp10000/tsp10000_test.txt")
+        # full-budget (Param_T = 0.10 s/city, TSP_IO.h:23-26) calibration
+        # subsets — grown each round toward full-split full-budget numbers
+        for split, tag in ((1000, "_T010_n32"), (10000, "_T010_n2")):
+            path = os.path.join(os.path.dirname(__file__), "data",
+                                f"mcts_protocol_tsp{split}{tag}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                st = json.load(f)
+            pre = f"tsp{split}_mcts_T010"
+            d[f"{pre}_gap_vs_best_known"] = round(st["gap_vs_best_known"], 5)
+            d[f"{pre}_n"] = st["n"]
+            if "gap_vs_hk_lb" in st:
+                d[f"{pre}_gap_vs_hk_lb"] = round(st["gap_vs_hk_lb"], 5)
 
     def sec_tsp10000_offline():
         # committed artifact from the offline reference-config eval (the
