@@ -174,10 +174,18 @@ class TSPTask:
         # scratch + node scratches + stacked weights: at H=256 this now
         # admits TSP-1000 k=100 (~68 MB; the r4 unfused kernel OOMed there
         # at a measured 146.8/128 MB) as well as TSP-500 (~27 MB).
+        import os as _os
+
+        _step_fused = _os.environ.get("DIFUSCO_MEGA_STEP", "1") != "0"
         K_mega = neighbors.shape[-1] if neighbors is not None else 0
-        mega_bytes = (V + 128) * K_mega * cfg.hidden_dim * 2 \
-            + 20 * (V + 128) * cfg.hidden_dim \
-            + 12 * cfg.n_layers * cfg.hidden_dim * cfg.hidden_dim
+        if _step_fused:
+            mega_bytes = (V + 128) * K_mega * cfg.hidden_dim * 2 \
+                + 20 * (V + 128) * cfg.hidden_dim \
+                + 12 * cfg.n_layers * cfg.hidden_dim * cfg.hidden_dim
+        else:
+            # legacy kernel keeps the (1,Vp,K,H) output block resident
+            mega_bytes = 2 * (V + 128) * K_mega * cfg.hidden_dim * 2 \
+                + 8 * (V + 128) * cfg.hidden_dim * 4
         use_mega = (
             use_fused_sparse
             and getattr(cfg, "mega_kernel", True)
@@ -254,7 +262,7 @@ class TSPTask:
         if cfg.diffusion_type == "categorical":
             xt = (jax.random.normal(kx, shape) > 0).astype(jnp.float32)
 
-            if use_mega and self.sparse:
+            if use_mega and self.sparse and _step_fused:
                 # fully fused denoise step: layers + out head + softmax +
                 # posterior + Bernoulli in ONE kernel; the PRNG stream is
                 # identical to the unfused path (bernoulli(k,p) ==
@@ -275,7 +283,7 @@ class TSPTask:
                 (xt, _), _ = jax.lax.scan(step, (xt, kloop), self.time_pairs)
                 return xt + 1e-6
 
-            if use_mega_dense:
+            if use_mega_dense and _step_fused:
                 from difusco_tpu.ops.pallas_gnn_mega import (
                     dense_denoise_step_mega)
 
