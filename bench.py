@@ -426,9 +426,13 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=128,
                 task.sample, f"{tag}_sample",
                 (params, pts_s, jax.random.PRNGKey(0), parallel_sampling),
                 kwargs={"neighbors": nbr_s})
-            decode_fn = aot_load_or_compile(
-                jax.jit(task.decode), f"{tag}_decode", (pts_s, heat_s),
-                kwargs={"neighbors": nbr_s})
+            # at V=10000 the merge + 5000-iteration 2-opt as ONE program
+            # crashes the TPU worker (measured, r5) — keep task.decode's
+            # internal jits there, exactly the path the offline eval runs
+            if V <= 2000:
+                decode_fn = aot_load_or_compile(
+                    jax.jit(task.decode), f"{tag}_decode", (pts_s, heat_s),
+                    kwargs={"neighbors": nbr_s})
         except Exception as e:
             print(f"sparse aot fallback ({type(e).__name__}: {e})")
             sample_fn = decode_fn = None
@@ -437,12 +441,16 @@ def bench_tsp_sparse(ckpt_name, test_rel, k, n_instances=128,
 
     for i in range(min(n_instances, len(ds))):
         ex = ds.get(i)
-        if sample_fn is not None and decode_fn is not None:
+        if sample_fn is not None:
             ki = jax.random.fold_in(jax.random.fold_in(key, i), 0)
             heat = sample_fn(params, jnp.asarray(ex["points"]), ki,
                              neighbors=jnp.asarray(ex["neighbors"]))
-            _, cst, _ = decode_fn(jnp.asarray(ex["points"]), heat,
-                                  neighbors=jnp.asarray(ex["neighbors"]))
+            if decode_fn is not None:
+                _, cst, _ = decode_fn(jnp.asarray(ex["points"]), heat,
+                                      neighbors=jnp.asarray(ex["neighbors"]))
+            else:
+                _, cst, _ = task.decode(jnp.asarray(ex["points"]), heat,
+                                        neighbors=jnp.asarray(ex["neighbors"]))
             m = {
                 "solved_cost": float(jnp.min(cst)),
                 "gt_cost": float(tour_cost_np(
