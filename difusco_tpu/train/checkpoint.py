@@ -53,7 +53,20 @@ class CheckpointKeeper:
         if opt_state is not None:
             state["opt_state"] = opt_state
         args = ocp.args.StandardSave(state)
-        self._last.save(step, args=args)
+        saved = self._last.save(step, args=args)
+        if not saved:
+            # orbax silently refuses non-increasing steps — a weights-only
+            # resume that restarts the step counter into an existing run
+            # dir would otherwise train with NO checkpoint landing
+            # (observed r5: a whole segment's best weights lived only in
+            # process memory). Make it loud; use a fresh run dir instead.
+            print(
+                f"WARNING: checkpoint save at step {step} was REFUSED "
+                f"(latest on disk: {self._last.latest_step()}); this "
+                "run's progress is NOT being checkpointed — resume into "
+                "a fresh --logger_name instead",
+                flush=True,
+            )
         if metrics and self.metric in metrics:
             self._best.save(
                 step,

@@ -35,12 +35,12 @@ done
 
 if [ "$LEG" = "1" ]; then
   SCHED=constant
-  NAME=mis_er700800_gaussian_v5_leg1
+  NAME=${NAME:-mis_er700800_gaussian_v5_leg1}
   CKPT=${CKPT:-models/mis_er700800_gaussian_v3/run/checkpoints}
   EPOCHS=${EPOCHS:-6}
 else
   SCHED=cosine-decay
-  NAME=mis_er700800_gaussian_v5
+  NAME=${NAME:-mis_er700800_gaussian_v5}
   CKPT=${CKPT:-models/mis_er700800_gaussian_v5_leg1/run/checkpoints}
   EPOCHS=${EPOCHS:-1}
 fi
