@@ -44,9 +44,11 @@ def _restore_ckpt(ckpt_name):
         )
         if not os.path.isdir(ckpt_dir):
             return None
+        from difusco_tpu.train.checkpoint import as_variables
+
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(os.path.join(ckpt_dir, "default"))
-        _CKPT_CACHE[ckpt_name] = state["params"]
+        _CKPT_CACHE[ckpt_name] = as_variables(state)
     return _CKPT_CACHE[ckpt_name]
 
 

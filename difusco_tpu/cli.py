@@ -248,7 +248,9 @@ def run(cfg: Config) -> dict:
                 state = ckptr.restore(
                     os.path.join(os.path.abspath(cfg.ckpt_path), "default")
                 )
-            params = state.get("params", state) if isinstance(state, dict) else state
+            from difusco_tpu.train.checkpoint import as_variables
+
+            params = as_variables(state)
             print(f"loaded weights-only checkpoint from {cfg.ckpt_path}")
         elif cfg.resume_weight_only or not cfg.do_train:
             keeper_in = CheckpointKeeper(cfg.ckpt_path, mode=saving_mode)

@@ -18,6 +18,32 @@ from typing import Any, Dict, Optional
 import orbax.checkpoint as ocp
 
 
+def as_variables(state: Any) -> Any:
+    """Normalize any on-disk checkpoint layout to a flax variables dict.
+
+    Three layouts exist in the wild:
+      keeper:    {'params': {'params': inner}, 'step': ..., 'opt_state': ...}
+                 (CheckpointKeeper.save wraps the full variables dict)
+      published: {'params': inner}  — the full variables dict itself, as
+                 written by eval_mis_er700800.py --publish / convert.py
+      bare:      inner  — just the module tree
+
+    All loaders of raw orbax step dirs must go through this; loading a
+    published checkpoint with the keeper's one-level strip yields a tree
+    with no 'params' collection and every model.apply fails with
+    ScopeCollectionNotFound (the silent sec_mis_er700800 failure of
+    BENCH_r04).
+    """
+    if not isinstance(state, dict):
+        return state
+    inner = state.get("params")
+    if not isinstance(inner, dict):
+        return {"params": state}  # bare module tree
+    if "params" in inner:
+        return inner  # keeper layout: state['params'] IS the variables dict
+    return state  # published layout: state IS the variables dict
+
+
 class CheckpointKeeper:
     def __init__(
         self,
@@ -105,11 +131,11 @@ class CheckpointKeeper:
                 state = ckptr.restore(
                     os.path.join(os.path.abspath(path), "default")
                 )
-            return state.get("params", state) if isinstance(state, dict) else state
+            return as_variables(state)
         step, state = self.restore_best(template)
         if state is None:
             return None
-        return state["params"]
+        return as_variables(state)
 
     def close(self):
         self._best.close()

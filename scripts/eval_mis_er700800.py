@@ -54,7 +54,9 @@ def main():
     task = MISTask(cfg)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(os.path.join(os.path.abspath(args.ckpt), "default"))
-    params = state.get("params", state) if isinstance(state, dict) else state
+    from difusco_tpu.train.checkpoint import as_variables
+
+    params = as_variables(state)
 
     ds = MISDataset("data/mis_er700800_test/*.gpickle*")
     n = min(args.n, len(ds))

@@ -82,15 +82,40 @@ def test_full_state_resume_matches_uninterrupted(tsp10_file, tmp_path):
 
 
 def test_weights_only_restore_with_explicit_path(tmp_path):
-    """restore_weights_only(path) loads a raw orbax step dir directly."""
-    import jax
+    """restore_weights_only(path) normalizes every on-disk layout to the
+    flax variables dict ({'params': inner}).
+
+    Regression for the BENCH_r04 silent sec_mis_er700800 failure: the
+    republished v4 checkpoint was written as the variables dict itself and
+    the loader's one-level strip handed model.apply a tree with no 'params'
+    collection (ScopeCollectionNotFound)."""
     import orbax.checkpoint as ocp
 
-    params = {"w": np.ones((3, 3), np.float32) * 2.0}
-    path = tmp_path / "raw_ckpt"
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(str(path / "default"), {"params": params})
+    inner = {"node_embed": {"w": np.ones((3, 3), np.float32) * 2.0}}
+    variables = {"params": inner}
+    layouts = {
+        "keeper": {"params": variables, "step": 5},  # CheckpointKeeper.save
+        "published": variables,  # eval_mis_er700800 --publish / convert.py
+    }
     keeper = CheckpointKeeper(str(tmp_path / "unused"), mode="min")
-    restored = keeper.restore_weights_only(str(path))
+    for name, state in layouts.items():
+        path = tmp_path / f"raw_{name}"
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(str(path / "default"), state)
+        restored = keeper.restore_weights_only(str(path))
+        assert set(restored) == {"params"}, (name, set(restored))
+        np.testing.assert_array_equal(
+            restored["params"]["node_embed"]["w"], inner["node_embed"]["w"],
+            err_msg=name,
+        )
     keeper.close()
-    np.testing.assert_array_equal(restored["w"], params["w"])
+
+
+def test_as_variables_layouts():
+    from difusco_tpu.train.checkpoint import as_variables
+
+    inner = {"layer_0": {"kernel": 1}, "node_embed": {"kernel": 2}}
+    variables = {"params": inner}
+    assert as_variables({"params": variables, "step": 3}) == variables
+    assert as_variables(variables) == variables
+    assert as_variables(inner) == {"params": inner}
