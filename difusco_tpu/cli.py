@@ -268,6 +268,23 @@ def run(cfg: Config) -> dict:
         trainer = Trainer(task, cfg, mesh=mesh)
 
         def eval_hook(p, step, opt_state=None):
+            if os.environ.get("DIFUSCO_SAVE_ONLY") == "1":
+                # escape hatch for a wedged/refusing remote compile service
+                # on the val sampler (observed r5: the axon compile RPC for
+                # the V=800 eval program hung indefinitely mid-training,
+                # stalling the run with zero checkpoints saved because
+                # saving rode the eval hook). Save unconditionally, keyed
+                # by step so the top-k keeper retains the newest k; model
+                # selection then happens offline on the real test metric
+                # (scripts/eval_mis_er700800.py).
+                keeper.save(
+                    step, jax.device_get(p),
+                    opt_state=jax.device_get(opt_state)
+                    if opt_state is not None else None,
+                    metrics={keeper.metric: float(step)
+                             if saving_mode == "max" else -float(step)},
+                )
+                return
             m = evaluate_split(task, val_ds, p, cfg, "val", cfg.validation_examples)
             logger.log(m, step)
             keeper.save(
