@@ -1013,7 +1013,9 @@ def main():
         # single-call section produced nothing in the driver artifact).
         try:
             r = bench_mis(
-                n_instances=envn("BENCH_ER700800_N", 16),
+                # 32 instances is ~70 s with the AOT sampler (the compile
+                # that used to dominate this section is pre-serialized)
+                n_instances=envn("BENCH_ER700800_N", 32),
                 ckpt_name="mis_er700800_gaussian",
                 data_dir="mis_er700800_test", hidden_dim=256,
                 diffusion_type="gaussian",

@@ -56,6 +56,7 @@ def arg_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -234,6 +235,8 @@ def run(cfg: Config) -> dict:
 
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     total_steps = steps_per_epoch * cfg.num_epochs
+    if cfg.max_steps:
+        total_steps = min(total_steps, cfg.max_steps)
 
     params = None
     resume_keeper = None

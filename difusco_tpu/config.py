@@ -32,6 +32,11 @@ class Config:
     # ---- optimization (reference train.py:30-35) ----
     batch_size: int = 64
     num_epochs: int = 50
+    # hard cap on optimizer steps (0 = epochs decide). The LR schedule's
+    # period follows the cap, so a short cosine anneal can complete inside
+    # a fixed wall-clock budget regardless of dataset size (Lightning
+    # Trainer max_steps analog; reference train.py drives epochs only)
+    max_steps: int = 0
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     lr_scheduler: str = "constant"  # constant | cosine-decay | one-cycle

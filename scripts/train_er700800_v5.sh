@@ -58,4 +58,5 @@ exec python -m difusco_tpu.cli --task mis --do_train \
   --learning_rate "${LR:-2e-4}" --weight_decay 1e-4 --lr_scheduler "$SCHED" \
   --parallel_sampling 4 --bf16 --log_every 50 \
   --validation_examples "${VALN:-8}" --eval_every_steps "${EVAL_EVERY:-2500}" \
-  --ckpt_path "$CKPT" --resume_weight_only
+  --ckpt_path "$CKPT" --resume_weight_only \
+  --max_steps "${MAXSTEPS:-0}"
