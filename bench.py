@@ -414,8 +414,11 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
             gt = float(np.sum(ex["labels"] * ex["node_mask"]))
             ratios.append(float(jnp.max(jnp.sum(sols, -1))) / max(gt, 1.0))
             if ls_rounds > 0:
-                # same refine as MISTask.evaluate_instance:185-204, shared
-                # jit across instances (uniform padded shapes)
+                # same refine as MISTask.evaluate_instance:185-204, one
+                # shared AOT executable across instances (uniform padded
+                # shapes; statics in the blob NAME). The 512-round LS
+                # compile measured 5+ min in-bench — it ate the dense gap
+                # sections' budget in the r5 validation run.
                 if ls_fn is None:
                     from functools import partial
 
@@ -424,7 +427,7 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
                     )
 
                     @partial(jax.jit, static_argnames=("rounds", "reps"))
-                    def ls_fn(sols, heats, nbrs, mask, nm, k, rounds, reps):
+                    def _ls(sols, heats, nbrs, mask, nm, k, rounds, reps):
                         heats = jnp.repeat(heats, reps, axis=0)
                         sols_r = jnp.repeat(sols, reps, axis=0)
                         keys = jax.random.split(k, heats.shape[0])
@@ -434,9 +437,14 @@ def bench_mis(n_instances=8, ckpt_name="mis_er_categorical",
                         )(sols_r, heats, keys)
                         return ref * nm[None, :].astype(ref.dtype)
 
+                    ls_fn = aot_load_or_compile(
+                        _ls, f"{tag}_ls{ls_rounds}x{ls_replicas}",
+                        (sols, heat, nbrs, mask, nm,
+                         jax.random.fold_in(ki, 10_007)),
+                        kwargs={"rounds": ls_rounds, "reps": ls_replicas})
+
                 refined = ls_fn(sols, heat, nbrs, mask, nm,
-                                jax.random.fold_in(ki, 10_007),
-                                rounds=ls_rounds, reps=ls_replicas)
+                                jax.random.fold_in(ki, 10_007))
                 ls_ratios.append(
                     float(jnp.max(jnp.sum(refined, -1))) / max(gt, 1.0))
             if deadline_ts and time.time() > deadline_ts:
@@ -1210,15 +1218,20 @@ def main():
         ("mis_sat", sec_mis_sat, 45),
         ("mis_satp", sec_mis_satp, 60),
         ("mis_er_gauss", sec_mis_er_gauss, 30),
-        ("sparse_throughput", sec_sparse_throughput, 90),
-        ("tsp500", sec_tsp500, 120),
-        ("frozen_tsp500", sec_frozen_tsp500, 10),
-        ("mis_er700800", sec_mis_er700800, 200),
-        ("tsp1000", sec_tsp1000, 120),
+        # quality-gap sections before the perf families: the gap numbers
+        # are the scarcer evidence (perf is stable round-over-round), and
+        # with their AOT blobs the dense sections are cheap. The r5
+        # validation run had the old ordering + a 437 s mis_er700800 (LS
+        # compile) and lost tsp50/tsp100/tsp50_gaussian entirely.
         ("tsp50", sec_tsp50, 150),
         ("frozen_tsp50", sec_frozen_tsp50, 5),
         ("tsp100", sec_tsp100, 120),
         ("tsp50_gaussian", sec_tsp50_gaussian, 80),
+        ("mis_er700800", sec_mis_er700800, 140),
+        ("tsp500", sec_tsp500, 120),
+        ("frozen_tsp500", sec_frozen_tsp500, 10),
+        ("tsp1000", sec_tsp1000, 120),
+        ("sparse_throughput", sec_sparse_throughput, 210),
         ("mcts_smoke", sec_mcts_smoke, 60),
         ("tsp10000", sec_tsp10000, 420),
     ]

@@ -34,8 +34,12 @@ def main():
     for ckpt, data_dir, hidden, dtype in CONFIGS:
         t0 = time.time()
         os.environ["BENCH_AOT"] = "1"
+        # ls_rounds/ls_replicas must match the bench defaults
+        # (BENCH_ER700800_ILS=512 x 2): statics are baked into the blob
+        # name. The LS compile alone measured 5+ min in-bench (r5).
         r = bench_mis(n_instances=2, ckpt_name=ckpt, data_dir=data_dir,
-                      hidden_dim=hidden, diffusion_type=dtype)
+                      hidden_dim=hidden, diffusion_type=dtype,
+                      ls_rounds=512, ls_replicas=2)
         t1 = time.time()
         if r is None:
             print(f"{ckpt}: missing checkpoint or split; skipped")
