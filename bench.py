@@ -939,7 +939,12 @@ def main():
                              "peak")
 
     def sec_tsp50():
-        g = bench_gap(n_instances=envn("BENCH_TSP50_N", 256),
+        # 160 of 256 instances by default: ~0.9 s/instance even with the
+        # AOT blobs, and the full-split number is already on record
+        # (BENCH_r04, ±0.1pp vs 160) — the saved ~90 s keeps the sparse
+        # perf families inside the 1020 s budget alongside every gap
+        # section (n is recorded; BENCH_TSP50_N=256 restores the full run)
+        g = bench_gap(n_instances=envn("BENCH_TSP50_N", 160),
                       deadline_ts=deadline - 20)
         put_gap("tsp50", g, "data/tsp50/tsp50_test.txt")
         if g is not None:
