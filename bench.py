@@ -924,6 +924,14 @@ def main():
     def envn(name, default):
         return int(os.environ.get(name, str(default)))
 
+    def cap(seconds):
+        """Soft per-section budget: the gap/mis helpers truncate per
+        instance at deadline_ts and record n, so capping each section's
+        slice keeps one fat section from starving every later one into a
+        SKIP (the r5 validation runs lost whole section families that
+        way). The global deadline still dominates."""
+        return min(deadline - 20, time.time() + seconds)
+
     # -- sections, cheapest-first; est = conservative worst-case seconds ----
     gap_costs = {}  # live-split per-instance costs, for frozen canaries
 
@@ -945,7 +953,7 @@ def main():
         # perf families inside the 1020 s budget alongside every gap
         # section (n is recorded; BENCH_TSP50_N=256 restores the full run)
         g = bench_gap(n_instances=envn("BENCH_TSP50_N", 160),
-                      deadline_ts=deadline - 20)
+                      deadline_ts=cap(110))
         put_gap("tsp50", g, "data/tsp50/tsp50_test.txt")
         if g is not None:
             gap_costs["tsp50"] = g["costs"]
@@ -961,7 +969,7 @@ def main():
         g = bench_gap(n_instances=envn("BENCH_TSP100_N", 128),
                       ckpt="tsp100_categorical_v3",
                       test_rel="data/tsp100/tsp100_test.txt",
-                      deadline_ts=deadline - 20)
+                      deadline_ts=cap(120))
         put_gap("tsp100", g, "data/tsp100/tsp100_test.txt")
         emit()
         # the paper's headline TSP-100 sampling row is 16 samples (the
@@ -975,13 +983,13 @@ def main():
             g16 = bench_gap(n_instances=envn("BENCH_TSP100_S16_N", 64),
                             ckpt="tsp100_categorical_v3",
                             test_rel="data/tsp100/tsp100_test.txt",
-                            deadline_ts=deadline - 20, parallel_sampling=16)
+                            deadline_ts=cap(80), parallel_sampling=16)
             put_gap("tsp100_s16", g16, "data/tsp100/tsp100_test.txt")
 
     def sec_tsp50_gaussian():
         g = bench_gap(n_instances=envn("BENCH_TSP50G_N", 64),
                       ckpt="tsp50_gaussian_v2", diffusion_type="gaussian",
-                      deadline_ts=deadline - 20)
+                      deadline_ts=cap(60))
         if g is not None:
             d["tsp50_gaussian_gap_vs_best_known"] = round(g["gap"], 5)
             if "gap_vs_hk_lb" in g:
@@ -1036,7 +1044,7 @@ def main():
                 ckpt_name="mis_er700800_gaussian",
                 data_dir="mis_er700800_test", hidden_dim=256,
                 diffusion_type="gaussian",
-                deadline_ts=deadline - 15,
+                deadline_ts=min(deadline - 15, time.time() + 130),
             )
             if r is not None:
                 d["mis_er700800_gaussian_greedy_setsize_vs_labels"] = round(
@@ -1054,7 +1062,7 @@ def main():
             data_dir="mis_er700800_test", hidden_dim=256,
             diffusion_type="gaussian",
             ls_rounds=ls_rounds, ls_replicas=2,
-            deadline_ts=deadline - 15,
+            deadline_ts=min(deadline - 15, time.time() + 90),
         )
         if r is not None and r[1] is not None:
             d["mis_er700800_gaussian_setsize_vs_labels"] = round(r[1], 5)
@@ -1083,7 +1091,7 @@ def main():
         g = bench_tsp_sparse(
             "tsp500_sparse_categorical", "data/tsp500_test.txt", k=50,
             n_instances=envn("BENCH_TSP500_N", 32),
-            deadline_ts=deadline - 30)
+            deadline_ts=cap(70))
         put_gap("tsp500", g)
         if g is not None:
             gap_costs["tsp500"] = g["costs"]
@@ -1099,7 +1107,7 @@ def main():
         g = bench_tsp_sparse(
             "tsp1000_sparse_categorical", "data/tsp1000/tsp1000_test.txt",
             k=100, n_instances=envn("BENCH_TSP1000_N", 16),
-            deadline_ts=deadline - 30)
+            deadline_ts=cap(60))
         put_gap("tsp1000", g)
 
     def sec_mcts_smoke():
